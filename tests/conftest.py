@@ -1,0 +1,28 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+The container's sitecustomize registers the axon TPU PJRT plugin and pins
+JAX_PLATFORMS=axon, so the env var alone can't select CPU; we override via
+jax.config before the backend is initialized. Sharding/pjit logic is
+validated on XLA's host-platform virtual devices (multi-chip TPU hardware is
+not available in CI). Set TUBER_TEST_TPU=1 to run the suite on the real chip.
+"""
+
+import os
+
+if os.environ.get("TUBER_TEST_TPU") != "1":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,271 @@
+"""Typed configuration schema for TubeR-TPU.
+
+The reference uses an open-ended yacs tree (``pipelines/video_action_recognition_config.py``)
+where experiment YAMLs inject many undeclared keys. Here every knob is a typed
+dataclass field; ``load_config`` accepts the reference's YAML files verbatim
+(``configuration/TubeR_CSN152_AVA22.yaml`` etc.) and maps them onto the schema,
+so existing experiment configs keep working.
+
+Reference key surface: /root/reference/configuration/TubeR_CSN152_AVA22.yaml:1-102
+and the yacs defaults at pipelines/video_action_recognition_config.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass
+class TrainConfig:
+    epoch_num: int = 20
+    start_epoch: int = 0
+    batch_size: int = 2              # per-host batch size
+    lr: float = 1e-4
+    min_lr: float = 1e-5
+    lr_backbone: float = 1e-5
+    momentum: float = 0.9
+    w_decay: float = 1e-4
+    lr_policy: str = "step"          # 'step' | 'cosine' | 'linear'
+    use_warmup: bool = False
+    warmup_start_lr: float = 1e-5
+    warmup_epochs: int = 4
+    lr_milestone: List[int] = field(default_factory=lambda: [10, 15])
+    step: float = 0.1
+    optimizer_name: str = "ADAMW"    # reference entry points always build AdamW
+    aux_loss: bool = True
+    seed: int = 0
+
+
+@dataclass
+class ValConfig:
+    batch_size: int = 1
+    freq: int = 2
+    put_gt: bool = False
+
+
+@dataclass
+class DataConfig:
+    dataset_name: str = "ava"        # 'ava' | 'jhmdb' | 'ucf'
+    label_path: str = ""
+    anno_path: str = ""
+    data_path: str = ""
+    num_classes: int = 80
+    img_size: int = 256
+    img_reshape_size: int = 288
+    temp_len: int = 32               # frames per clip
+    frame_rate: int = 2              # temporal stride when sampling frames
+    num_workers: int = 8
+    # Static-shape discipline: per-sample ground-truth boxes are padded to
+    # this many entries with a validity mask (the reference carries ragged
+    # per-sample lists; XLA needs fixed shapes).
+    max_boxes: int = 32
+
+
+@dataclass
+class ModelConfig:
+    single_frame: bool = True
+    backbone_name: str = "CSN-152"   # 'CSN-152' | 'CSN-50'
+    temporal_ds_strategy: str = "decode"   # 'avg' | 'max' | 'decode' | 'middle'
+    last_stride: bool = False
+    generate_lfb: bool = False
+    name: str = "tuber"
+    enc_layers: int = 6
+    dec_layers: int = 6
+    d_model: int = 256
+    nhead: int = 8
+    dim_feedforward: int = 2048
+    query_num: int = 15
+    normalize_before: bool = False
+    dropout: float = 0.1
+    ds_rate: int = 8
+    temp_len: int = 32
+    sample_rate: int = 2
+    pretrained: bool = False
+    pretrain_backbone_dir: str = ""
+    pretrain_transformer_dir: str = ""
+    pretrained_path: str = ""
+    load: bool = False
+    load_fc: bool = True
+    load_detr: bool = False
+    tune_point: int = 4              # CSN stages frozen up to this point
+    # TPU-specific: computation dtype of the hot path (params stay fp32).
+    compute_dtype: str = "bfloat16"  # 'bfloat16' | 'float32'
+
+
+@dataclass
+class MatcherConfig:
+    cost_class: float = 12.0
+    cost_bbox: float = 5.0
+    cost_giou: float = 2.0
+    bny_loss: bool = True
+    before: bool = False
+
+
+@dataclass
+class LossConfig:
+    mask_cof: float = 1.0
+    dice_cof: float = 12.0           # multiplies loss_ce (naming kept from reference)
+    bbox_cof: float = 5.0
+    giou_cof: float = 2.0
+    eos_cof: float = 0.1
+    weight: float = 10.0             # per-matched-query BCE weight
+    weight_change: int = 1000        # epoch after which loss_ce weight switches
+    loss_change_cof: float = 2.0
+    clips_max_norm: float = 0.1
+
+
+@dataclass
+class LogConfig:
+    base_path: str = "runs"
+    log_dir: str = "tb_log"
+    save_dir: str = "checkpoints"
+    eval_dir: str = "eval"
+    exp_name: str = "tuber_tpu"
+    save_freq: int = 1
+    display_freq: int = 20
+    res_dir: str = "tmp"
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout. The reference supports data-parallel only (NCCL
+    DDP, pipelines/launch.py); here the mesh is declarative and extensible."""
+    data: int = -1                   # -1: all devices on the 'data' axis
+    model: int = 1                   # tensor-parallel axis size (attention heads / FFN)
+
+
+@dataclass
+class Config:
+    eval_only: bool = False
+    two_stream: bool = False
+    use_lfb: bool = False
+    use_location: bool = False
+    train: TrainConfig = field(default_factory=TrainConfig)
+    val: ValConfig = field(default_factory=ValConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    log: LogConfig = field(default_factory=LogConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    @property
+    def num_queries_total(self) -> int:
+        """Decoder query count: Q for AVA, Q * T' for tubelet (full) mode.
+
+        Reference: models/tuber_ava.py:43-47.
+        """
+        if self.data.dataset_name == "ava":
+            return self.model.query_num
+        return self.model.query_num * self.model.temp_len
+
+    @property
+    def temporal_feat_len(self) -> int:
+        """Feature frames after backbone temporal stride (T / DS_RATE), or 1
+        when single-frame pooling is on. Reference: transformer.py:313."""
+        if self.model.single_frame:
+            return 1
+        return self.model.temp_len // self.model.ds_rate
+
+
+# ---------------------------------------------------------------------------
+# YAML loading (reference-format compatible)
+# ---------------------------------------------------------------------------
+
+# Maps reference YAML keys (UPPER_SNAKE, nested under CONFIG) to schema paths.
+_SECTION_MAP = {
+    "TRAIN": "train",
+    "VAL": "val",
+    "DATA": "data",
+    "MODEL": "model",
+    "MATCHER": "matcher",
+    "LOSS_COFS": "loss",
+    "LOG": "log",
+    "MESH": "mesh",
+}
+
+_KEY_RENAMES = {
+    # (section, REFERENCE_KEY) -> field name; everything else is lower-cased.
+    ("loss", "MASK_COF"): "mask_cof",
+    ("loss", "DICE_COF"): "dice_cof",
+    ("loss", "BBOX_COF"): "bbox_cof",
+    ("loss", "GIOU_COF"): "giou_cof",
+    ("loss", "EOS_COF"): "eos_cof",
+    ("loss", "CLIPS_MAX_NORM"): "clips_max_norm",
+    ("train", "W_DECAY"): "w_decay",
+    ("log", "EXP_NAME"): "exp_name",
+}
+
+# Reference keys we accept but deliberately ignore (dead/unused there too, or
+# replaced by the mesh abstraction).
+_IGNORED_KEYS = {
+    "MULTIGRID", "NUM_ENCODER_LAYERS", "IMG_RESHAPE_SIZE2", "GPU",
+    "WORLD_SIZE", "WORLD_RANK", "GPU_WORLD_SIZE", "GPU_WORLD_RANK",
+    "DIST_URL", "WOLRD_URLS", "AUTO_RANK_MATCH", "DIST_BACKEND",
+    "DISTRIBUTED",
+}
+
+
+def _assign(obj: Any, key: str, value: Any, ctx: str) -> None:
+    if not hasattr(obj, key):
+        raise KeyError(f"unknown config key {ctx}.{key}")
+    current = getattr(obj, key)
+    if isinstance(current, bool):
+        value = bool(value)
+    elif isinstance(current, int) and not isinstance(value, bool):
+        value = int(value)
+    elif isinstance(current, float):
+        value = float(value)
+    setattr(obj, key, value)
+
+
+def _merge_section(section_obj: Any, section_name: str, tree: Dict[str, Any]) -> None:
+    for k, v in tree.items():
+        if k in _IGNORED_KEYS:
+            continue
+        if k == "OPTIMIZER" and isinstance(v, dict):
+            # reference: TRAIN.OPTIMIZER.NAME (train_tuber_ava.py builds AdamW
+            # regardless; we honour the key).
+            name = v.get("NAME")
+            if name:
+                section_obj.optimizer_name = str(name).upper()
+            continue
+        field_name = _KEY_RENAMES.get((section_name, k), k.lower())
+        _assign(section_obj, field_name, v, section_name)
+
+
+def merge_dict(cfg: Config, tree: Dict[str, Any]) -> Config:
+    """Merge a (possibly reference-format) nested dict into a Config."""
+    if "CONFIG" in tree or "DDP_CONFIG" in tree:
+        # Reference layout: DDP_CONFIG ignored (mesh replaces it), CONFIG nested.
+        tree = tree.get("CONFIG", {})
+    for k, v in tree.items():
+        if k in _IGNORED_KEYS:
+            continue
+        if k in _SECTION_MAP and isinstance(v, dict):
+            _merge_section(getattr(cfg, _SECTION_MAP[k]), _SECTION_MAP[k], v)
+        elif isinstance(v, dict) and hasattr(cfg, k.lower()):
+            _merge_section(getattr(cfg, k.lower()), k.lower(), v)
+        else:
+            _assign(cfg, k.lower(), v, "CONFIG")
+    return cfg
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """Build a Config, optionally merging a YAML file and an override dict."""
+    cfg = Config()
+    if path is not None:
+        import yaml
+
+        with open(path) as f:
+            tree = yaml.safe_load(f)
+        merge_dict(cfg, tree or {})
+    if overrides:
+        merge_dict(cfg, overrides)
+    return cfg
+
+
+def to_dict(cfg: Config) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,137 @@
+"""irCSN-50/152 backbone (interaction-reduced channel-separated 3D ResNet).
+
+TPU-native re-implementation of the reference's
+``models/backbones/ir_CSN_152.py`` / ``ir_CSN_50.py``: same topology
+(stem 3x7x7 stride(1,2,2) + 1x3x3 maxpool; bottlenecks of 1x1x1 -> depthwise
+3x3x3 -> 1x1x1 with temporal stride 2 at stages 2-4), but:
+
+  * channels-last (B, T, H, W, C) layout — XLA's preferred TPU conv layout,
+  * the depthwise 3x3x3 conv is ``feature_group_count=planes`` in
+    ``lax.conv_general_dilated`` (MXU-friendly; a fused Pallas
+    depthwise+BN+ReLU kernel is the targeted follow-up optimization),
+  * bfloat16 compute with fp32 params/statistics,
+  * BatchNorm uses frozen running stats at inference (the reference's
+    ``Affine`` mode is exactly folded BN; we keep real BN params and fold).
+
+Reference: ir_CSN_152.py:33-210 (blocks [3,8,36,3]), ir_CSN_50.py ([3,4,6,3]).
+Checkpoint loading from the Caffe2 ``.mat`` exports is in
+``train/checkpoint.py`` (key scheme ir_CSN_152.py:242-318).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+BN_EPS = 1e-3       # reference ir_CSN_152.py:15
+BN_MOMENTUM = 0.9   # flax momentum = 1 - torch momentum (torch bn_mmt = 0.1)
+
+BLOCK_NUMS = {
+    "CSN-152": (3, 8, 36, 3),
+    "CSN-50": (3, 4, 6, 3),
+}
+
+
+class CSNBottleneck(nn.Module):
+    """ir-bottleneck: 1x1x1 conv -> depthwise 3x3x3 -> 1x1x1, each + BN(+ReLU).
+
+    Reference ir_CSN_152.py:33-90. ``conv3`` is the channel-separated
+    (depthwise) spatio-temporal conv: groups == planes.
+    """
+
+    in_planes: int
+    planes: int
+    stride: int = 1
+    temporal_stride: int = 1
+    has_downsample: bool = False
+    expansion: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, dtype=self.dtype, param_dtype=jnp.float32,
+                name=name)
+
+        residual = x
+        out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
+                      dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(x)
+        out = nn.relu(bn("bn1")(out))
+
+        st = (self.temporal_stride, self.stride, self.stride)
+        out = nn.Conv(self.planes, (3, 3, 3), strides=st, padding=[(1, 1)] * 3,
+                      feature_group_count=self.planes, use_bias=False,
+                      dtype=self.dtype, param_dtype=jnp.float32, name="conv3")(out)
+        out = nn.relu(bn("bn3")(out))
+
+        out = nn.Conv(self.planes * self.expansion, (1, 1, 1), use_bias=False,
+                      dtype=self.dtype, param_dtype=jnp.float32, name="conv4")(out)
+        out = bn("bn4")(out)
+
+        if self.has_downsample:
+            residual = nn.Conv(self.planes * self.expansion, (1, 1, 1), strides=st,
+                               use_bias=False, dtype=self.dtype,
+                               param_dtype=jnp.float32, name="downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
+
+        return nn.relu(out + residual)
+
+
+class CSN(nn.Module):
+    """irCSN trunk. Input (B, T, H, W, 3) -> features (B, T/8, H/16[,32], W/…, 2048).
+
+    ``last_stride=False`` keeps the final spatial stride at 1
+    (ir_CSN_152.py:133-135), giving 16x16 features for 256x256 input.
+    """
+
+    block_nums: Sequence[int] = (3, 8, 36, 3)
+    last_stride: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (3, 7, 7), strides=(1, 2, 2),
+                    padding=[(1, 1), (3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, param_dtype=jnp.float32,
+                         name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
+                        padding=[(0, 0), (1, 1), (1, 1)])
+
+        stage_planes = (64, 128, 256, 512)
+        in_planes = 64
+        for s, (planes, blocks) in enumerate(zip(stage_planes, self.block_nums)):
+            if s == 0:
+                stride, tstride = 1, 1
+            elif s == 3:
+                stride, tstride = (2 if self.last_stride else 1), 2
+            else:
+                stride, tstride = 2, 2
+            for b in range(blocks):
+                x = CSNBottleneck(
+                    in_planes=in_planes if b == 0 else planes * 4,
+                    planes=planes,
+                    stride=stride if b == 0 else 1,
+                    temporal_stride=tstride if b == 0 else 1,
+                    has_downsample=(b == 0),
+                    expansion=4,
+                    dtype=self.dtype,
+                    name=f"layer{s + 1}_{b}",
+                )(x, train=train)
+            in_planes = planes * 4
+        return x
+
+
+def build_csn(backbone_name: str, last_stride: bool, dtype=jnp.float32) -> CSN:
+    if backbone_name not in BLOCK_NUMS:
+        raise ValueError(f"unknown backbone {backbone_name!r}; "
+                         f"supported: {sorted(BLOCK_NUMS)}")
+    return CSN(block_nums=BLOCK_NUMS[backbone_name], last_stride=last_stride,
+               dtype=dtype)

@@ -1,0 +1,179 @@
+"""On-device Hungarian matching for DETR-style set losses.
+
+The reference solves the linear sum assignment on *CPU* with scipy every
+training step (models/detr/matcher.py:76-81: ``C.cpu()`` then
+``linear_sum_assignment`` per sample) — a forced device->host sync in the hot
+loop. Here the assignment is solved *inside jit* with a fixed-shape
+Jonker-Volgenant shortest-augmenting-path algorithm (O(N^3), N = padded
+square size), vmapped over the batch. Costs stay on device; no host round
+trip; fully differentiable-adjacent (the assignment itself is integer output
+used for gathers).
+
+Padding scheme (static shapes):
+  * target boxes are padded to ``max_boxes`` with a validity mask;
+  * the cost matrix is squared up to N = max(num_queries, max_boxes):
+    invalid/padded target columns get a large constant cost (PAD_COST) for
+    real query rows, and dummy rows get zero cost everywhere. Both paddings
+    contribute row/column-constant terms, so the restriction of the optimal
+    square assignment to (real query, valid target) pairs equals scipy's
+    rectangular ``linear_sum_assignment`` on the valid submatrix (verified in
+    tests/test_matcher.py against scipy on random instances).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tubelet_transformer_tpu.ops import box_ops
+
+PAD_COST = 1.0e6
+_INF = 1.0e15
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _solve_square(cost: jnp.ndarray) -> jnp.ndarray:
+    """Solve an N x N assignment; returns col index per row (N,) int32.
+
+    Shortest-augmenting-path Hungarian with potentials (Jonker-Volgenant
+    style). 1-indexed internally; column 0 is the virtual start column.
+    """
+    n = cost.shape[0]
+    c = jnp.pad(cost.astype(jnp.float32), ((1, 0), (1, 0)))
+
+    def solve_row(i, carry):
+        u, v, p = carry
+        p = p.at[0].set(i)
+
+        def dijkstra_cond(state):
+            j0, _, _, _, _, p_, _ = state
+            return p_[j0] != 0
+
+        def dijkstra_body(state):
+            j0, minv, used, u_, v_, p_, way = state
+            used = used.at[j0].set(True)
+            i0 = p_[j0]
+            cur = c[i0] - u_[i0] - v_
+            better = (cur < minv) & ~used
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+            masked = jnp.where(used, _INF, minv).at[0].set(_INF)
+            j1 = jnp.argmin(masked).astype(jnp.int32)
+            delta = masked[j1]
+            # u[p[j]] += delta for used j (distinct rows); out-of-range drop.
+            scatter_rows = jnp.where(used, p_, n + 2)
+            u_ = u_.at[scatter_rows].add(delta, mode="drop")
+            v_ = jnp.where(used, v_ - delta, v_)
+            minv = jnp.where(used, minv, minv - delta)
+            return j1, minv, used, u_, v_, p_, way
+
+        init = (
+            jnp.int32(0),
+            jnp.full(n + 1, _INF, jnp.float32),
+            jnp.zeros(n + 1, bool),
+            u, v, p,
+            jnp.zeros(n + 1, jnp.int32),
+        )
+        j0, _, _, u, v, p, way = jax.lax.while_loop(
+            dijkstra_cond, dijkstra_body, init)
+
+        def augment_cond(state):
+            j0_, _ = state
+            return j0_ != 0
+
+        def augment_body(state):
+            j0_, p_ = state
+            j1 = way[j0_]
+            p_ = p_.at[j0_].set(p_[j1])
+            return j1, p_
+
+        _, p = jax.lax.while_loop(augment_cond, augment_body, (j0, p))
+        return u, v, p
+
+    u0 = jnp.zeros(n + 1, jnp.float32)
+    v0 = jnp.zeros(n + 1, jnp.float32)
+    p0 = jnp.zeros(n + 1, jnp.int32)
+    _, _, p = jax.lax.fori_loop(1, n + 1, solve_row, (u0, v0, p0))
+
+    # p[j] = row assigned to column j (1-indexed). Invert to row -> col.
+    row_to_col = jnp.zeros(n, jnp.int32)
+    row_to_col = row_to_col.at[p[1:] - 1].set(jnp.arange(n, dtype=jnp.int32))
+    return row_to_col
+
+
+def solve_assignment(cost: jnp.ndarray) -> jnp.ndarray:
+    """Batched square assignment: (B, N, N) -> (B, N) col per row."""
+    return jax.vmap(_solve_square)(cost)
+
+
+def compute_cost_matrix(
+    pred_boxes: jnp.ndarray,        # (B, Q, 4) cxcywh
+    class_cost: jnp.ndarray,        # (B, Q, M) classification cost term
+    tgt_boxes: jnp.ndarray,         # (B, M, 4) cxcywh
+    tgt_valid: jnp.ndarray,         # (B, M) bool
+    cost_class: float,
+    cost_bbox: float,
+    cost_giou: float,
+) -> jnp.ndarray:
+    """Weighted DETR matching cost with invalid columns set to PAD_COST.
+
+    Mirrors models/detr/matcher.py:59-75 (L1 cdist + (-GIoU) + class term).
+    """
+    cost_l1 = jnp.sum(
+        jnp.abs(pred_boxes[:, :, None, :] - tgt_boxes[:, None, :, :]), axis=-1)
+    giou = box_ops.generalized_box_iou(
+        box_ops.box_cxcywh_to_xyxy(pred_boxes),
+        box_ops.box_cxcywh_to_xyxy(tgt_boxes))
+    c = cost_bbox * cost_l1 + cost_class * class_cost + cost_giou * (-giou)
+    return jnp.where(tgt_valid[:, None, :], c, PAD_COST)
+
+
+def match(
+    cost: jnp.ndarray,       # (B, Q, M) with invalid cols already PAD_COST
+    tgt_valid: jnp.ndarray,  # (B, M) bool
+):
+    """Run the assignment; returns (tgt_for_query, query_for_tgt).
+
+    tgt_for_query: (B, Q) int32 — matched target index per query, -1 if the
+      query is unmatched (no valid target assigned to it).
+    query_for_tgt: (B, M) int32 — matched query per target, -1 for padded /
+      overflow targets (more valid targets than queries).
+    """
+    b, q, m = cost.shape
+    n = max(q, m)
+    sq = jnp.zeros((b, n, n), jnp.float32)
+    sq = sq.at[:, :q, :m].set(cost)
+    if m < n:  # dummy columns for real rows
+        sq = sq.at[:, :q, m:].set(PAD_COST)
+    # dummy rows (q..n) stay all-zero: row-constant, does not distort.
+
+    row_to_col = solve_assignment(sq)            # (B, N)
+    col = row_to_col[:, :q]                      # cols matched to real queries
+    col_is_real = col < m
+    col_valid = jnp.take_along_axis(
+        tgt_valid, jnp.clip(col, 0, m - 1), axis=1) & col_is_real
+    tgt_for_query = jnp.where(col_valid, col, -1).astype(jnp.int32)
+
+    query_for_tgt = jnp.full((b, m), -1, jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32)[None], (b, q))
+    scatter_cols = jnp.where(col_valid, col, m + 1)
+    query_for_tgt = jax.vmap(
+        lambda qa, ca, ra: qa.at[ca].set(ra, mode="drop")
+    )(query_for_tgt, scatter_cols, rows)
+    return tgt_for_query, query_for_tgt
+
+
+def hungarian_scipy_oracle(cost: jnp.ndarray, n_valid) -> tuple:
+    """Host scipy reference (test oracle only; never used in the hot path)."""
+    import numpy as np
+    from scipy.optimize import linear_sum_assignment
+
+    cost = np.asarray(cost)
+    out = []
+    for b in range(cost.shape[0]):
+        nv = int(n_valid[b])
+        r, c = linear_sum_assignment(cost[b, :, :nv])
+        out.append((r, c))
+    return out
