@@ -1,0 +1,167 @@
+"""Numerical parity of attention/transformer layers vs the torch reference."""
+
+import jax
+import numpy as np
+import torch
+
+from ref_loader import load_ref
+from tubelet_transformer_tpu.models import layers as L
+from tubelet_transformer_tpu.models.transformer import Transformer
+from tubelet_transformer_tpu.train import torch_convert as tc
+
+E, H = 64, 4
+
+
+def _np(t):
+    return t.detach().numpy()
+
+
+def test_mha_matches_torch(rng):
+    torch.manual_seed(0)
+    ref = torch.nn.MultiheadAttention(E, H, dropout=0.0)
+    ref.eval()
+    sd = {f"a.{k}": v for k, v in ref.state_dict().items()}
+    params = tc.mha_params(sd, "a")
+
+    mod = L.MultiHeadAttention(E, H, dropout=0.0)
+    q = rng.normal(0, 1, (2, 5, E)).astype(np.float32)
+    k = rng.normal(0, 1, (2, 9, E)).astype(np.float32)
+    v = rng.normal(0, 1, (2, 9, E)).astype(np.float32)
+    kpm = np.zeros((2, 9), bool)
+    kpm[0, 6:] = True
+
+    ours = mod.apply({"params": params}, q, k, v, kpm)
+    with torch.no_grad():
+        theirs, _ = ref(torch.from_numpy(q).transpose(0, 1),
+                        torch.from_numpy(k).transpose(0, 1),
+                        torch.from_numpy(v).transpose(0, 1),
+                        key_padding_mask=torch.from_numpy(kpm))
+    np.testing.assert_allclose(np.asarray(ours),
+                               _np(theirs.transpose(0, 1)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_encoder_decoder_layers_match_reference(rng):
+    ref_t = load_ref("models.transformer.transformer")
+    torch.manual_seed(1)
+    enc = ref_t.TransformerEncoderLayer(E, H, 128, dropout=0.0)
+    dec = ref_t.TransformerDecoderLayer(E, H, 128, dropout=0.0)
+    enc.eval(), dec.eval()
+
+    src = rng.normal(0, 1, (2, 10, E)).astype(np.float32)
+    pos = rng.normal(0, 1, (2, 10, E)).astype(np.float32)
+    tgt = rng.normal(0, 1, (2, 4, E)).astype(np.float32)
+    qpos = rng.normal(0, 1, (2, 4, E)).astype(np.float32)
+    kpm = np.zeros((2, 10), bool)
+    kpm[1, 7:] = True
+
+    enc_params = tc.encoder_layer_params(
+        {f"x.{k}": v for k, v in enc.state_dict().items()}, "x")
+    ours_enc = L.EncoderLayer(E, H, 128, dropout=0.0).apply(
+        {"params": enc_params}, src, kpm, pos)
+    with torch.no_grad():
+        ref_enc, _ = enc(torch.from_numpy(src).transpose(0, 1),
+                         src_key_padding_mask=torch.from_numpy(kpm),
+                         pos=torch.from_numpy(pos).transpose(0, 1))
+    np.testing.assert_allclose(np.asarray(ours_enc),
+                               _np(ref_enc.transpose(0, 1)),
+                               rtol=1e-4, atol=1e-5)
+
+    dec_params = tc.decoder_layer_params(
+        {f"x.{k}": v for k, v in dec.state_dict().items()}, "x")
+    ours_dec = L.DecoderLayer(E, H, 128, dropout=0.0).apply(
+        {"params": dec_params}, tgt, np.asarray(ours_enc), kpm, pos, qpos)
+    with torch.no_grad():
+        ref_dec, _ = dec(1, torch.from_numpy(tgt).transpose(0, 1),
+                         ref_enc,
+                         memory_key_padding_mask=torch.from_numpy(kpm),
+                         pos=torch.from_numpy(pos).transpose(0, 1),
+                         query_pos=torch.from_numpy(qpos).transpose(0, 1))
+    np.testing.assert_allclose(np.asarray(ours_dec),
+                               _np(ref_dec.transpose(0, 1)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_full_transformer_matches_reference(rng):
+    ref_t = load_ref("models.transformer.transformer")
+    torch.manual_seed(2)
+    ref = ref_t.Transformer(d_model=E, nhead=H, num_encoder_layers=2,
+                            num_decoder_layers=2, dim_feedforward=128,
+                            dropout=0.0, return_intermediate_dec=True,
+                            num_feat=1)
+    ref.eval()
+
+    b, t, hh, ww, q = 2, 1, 3, 4, 5
+    src = rng.normal(0, 1, (b, t * hh * ww, E)).astype(np.float32)
+    pos = rng.normal(0, 1, (b, t * hh * ww, E)).astype(np.float32)
+    qe = rng.normal(0, 1, (q, E)).astype(np.float32)
+    mask = np.zeros((b, t * hh * ww), bool)
+
+    sd = ref.state_dict()
+    params = {}
+    for i in range(2):
+        params[f"encoder_layer_{i}"] = tc.encoder_layer_params(
+            sd, f"encoder.layers.{i}")
+        params[f"decoder_layer_{i}"] = tc.decoder_layer_params(
+            sd, f"decoder.layers.{i}")
+    params["decoder_norm"] = tc.ln_params(sd, "decoder.norm")
+
+    ours = Transformer(d_model=E, nhead=H, num_encoder_layers=2,
+                       num_decoder_layers=2, dim_feedforward=128,
+                       dropout=0.0).apply({"params": params}, src, mask, qe, pos)
+
+    src_cf = torch.from_numpy(
+        src.reshape(b, t, hh, ww, E).transpose(0, 4, 1, 2, 3))
+    pos_cf = torch.from_numpy(
+        pos.reshape(b, t, hh, ww, E).transpose(0, 4, 1, 2, 3))
+    with torch.no_grad():
+        hs = ref(src_cf, torch.from_numpy(mask.reshape(b, t, hh, ww)[:, 0]),
+                 torch.from_numpy(qe), pos_cf)[0]   # (L, B, Q, E)
+    np.testing.assert_allclose(np.asarray(ours), _np(hs),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_factorized_layer_matches_reference(rng):
+    ref_tl = load_ref("models.transformer.transformer_layers")
+    torch.manual_seed(3)
+    ref = ref_tl.TransformerEncoderLayer(E, H, 128, dropout=0.0)
+    ref.eval()
+
+    b, t, hh, ww = 2, 3, 2, 2
+    hw = hh * ww
+    x = rng.normal(0, 1, (b, t, hw, E)).astype(np.float32)
+
+    params = tc.factorized_layer_params(
+        {f"x.{k}": v for k, v in ref.state_dict().items()}, "x")
+    ours = L.FactorizedSTEncoderLayer(E, H, 128, dropout=0.0).apply(
+        {"params": params}, x)
+
+    # Reference layout: (t*h*w, B, E) with orig_shape (B, E, t, h, w).
+    x_ref = torch.from_numpy(
+        np.ascontiguousarray(x.reshape(b, t * hw, E).transpose(1, 0, 2)))
+    with torch.no_grad():
+        out, _ = ref(x_ref, orig_shape=(b, E, t, hh, ww))
+    ref_out = _np(out).transpose(1, 0, 2).reshape(b, t, hw, E)
+    np.testing.assert_allclose(np.asarray(ours), ref_out,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lstr_decoder_layer_matches_reference(rng):
+    ref_tl = load_ref("models.transformer.transformer_layers")
+    torch.manual_seed(4)
+    ref = ref_tl.LSTRTransformerDecoderLayer(E, H, 128, dropout=0.0)
+    ref.eval()
+
+    tgt = rng.normal(0, 1, (3, 1, E)).astype(np.float32)
+    mem = rng.normal(0, 1, (3, 6, E)).astype(np.float32)
+
+    params = tc.lstr_layer_params(
+        {f"x.{k}": v for k, v in ref.state_dict().items()}, "x")
+    ours = L.LSTRDecoderLayer(E, H, 128, dropout=0.0).apply(
+        {"params": params}, tgt, mem)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(tgt).transpose(0, 1),
+                     torch.from_numpy(mem).transpose(0, 1))
+    np.testing.assert_allclose(np.asarray(ours),
+                               _np(theirs.transpose(0, 1)),
+                               rtol=1e-4, atol=1e-5)

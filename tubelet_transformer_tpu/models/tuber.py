@@ -113,6 +113,7 @@ class TubeR(nn.Module):
                  else self.num_classes + 1)
         self.class_fc = nn.Dense(n_cls, dtype=self.dtype,
                                  param_dtype=jnp.float32)
+        self.head_dropout = nn.Dropout(0.5)
 
         if self.single_frame and self.temporal_ds_strategy == "decode":
             self.pool_query = self.param(
@@ -196,7 +197,7 @@ class TubeR(nn.Module):
         q_class = self.cross_attn(hs_q, enc_rep, enc_rep,
                                   deterministic=deterministic)
         q_class = q_class.reshape(lay_n, b, nb, self.hidden_dim)
-        q_class = nn.Dropout(0.5)(q_class, deterministic=deterministic)
+        q_class = self.head_dropout(q_class, deterministic=deterministic)
 
         outputs_class = self.class_fc(q_class)                   # (L,B,Q,cls)
         outputs_coord = nn.sigmoid(self.bbox_embed(hs).astype(jnp.float32))
