@@ -1,0 +1,109 @@
+"""End-to-end engine smoke tests on a virtual 8-device CPU mesh: sharded
+train step compiles, runs, updates params, keeps losses finite; eval step
+produces detections; frozen params stay frozen."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.models.tuber import build_model
+from tubelet_transformer_tpu.parallel import mesh as mesh_lib
+from tubelet_transformer_tpu.train import engine
+
+
+def _tiny_cfg():
+    cfg = Config()
+    cfg.data.num_classes = 6
+    cfg.data.max_boxes = 4
+    cfg.data.img_size = 32
+    cfg.model.backbone_name = "CSN-50"
+    cfg.model.query_num = 5
+    cfg.model.temp_len = 8
+    cfg.model.enc_layers = 2
+    cfg.model.dec_layers = 2
+    cfg.model.d_model = 64
+    cfg.model.nhead = 4
+    cfg.model.dim_feedforward = 64
+    cfg.model.compute_dtype = "float32"
+    cfg.model.temporal_ds_strategy = "avg"
+    cfg.train.batch_size = 8
+    cfg.train.lr = 1e-4
+    cfg.train.lr_backbone = 1e-5
+    return cfg
+
+
+def _fake_batch(rng, cfg, b):
+    m, c = cfg.data.max_boxes, cfg.data.num_classes
+    img = cfg.data.img_size
+    n_valid = rng.integers(1, m, b)
+    valid = np.arange(m)[None] < n_valid[:, None]
+    labels = (rng.uniform(0, 1, (b, m, c)) < 0.3).astype(np.float32)
+    labels[..., 0] = 1.0
+    boxes = np.stack([
+        rng.uniform(0.3, 0.6, (b, m)), rng.uniform(0.3, 0.6, (b, m)),
+        rng.uniform(0.1, 0.3, (b, m)), rng.uniform(0.1, 0.3, (b, m))], -1)
+    return {
+        "clips": rng.normal(0, 1, (b, cfg.model.temp_len, img, img, 3)
+                            ).astype(np.float32),
+        "pad_mask": np.zeros((b, img, img), bool),
+        "boxes": boxes.astype(np.float32),
+        "labels": labels,
+        "valid": valid,
+        "sizes": np.full((b, 2), img, np.float32),
+    }
+
+
+def test_train_and_eval_step(rng):
+    cfg = _tiny_cfg()
+    # hidden_dim 64 requires matching model dims; keep defaults consistent
+    model = build_model(cfg)
+    batch = _fake_batch(rng, cfg, cfg.train.batch_size)
+
+    mesh = mesh_lib.create_mesh()
+    assert mesh.devices.size == 8
+    sharded = mesh_lib.shard_batch(batch, mesh)
+
+    state, tx, sched = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=10)
+    train_step = engine.make_train_step(cfg, model, tx)
+
+    key = jax.random.PRNGKey(1)
+    p_before = jax.tree.map(np.asarray, state.params)
+    metrics = None
+    for _ in range(2):
+        state, metrics = train_step(state, sharded, key,
+                                    jnp.float32(cfg.loss.dice_cof))
+    assert int(state.step) == 2
+    assert float(metrics["finite"]) == 1.0
+    for k in ("loss_ce", "loss_ce_b", "loss_bbox", "loss_giou", "total_loss"):
+        assert np.isfinite(float(metrics[k])), k
+
+    # main params moved, frozen none (none frozen here: pretrained=False)
+    moved = np.abs(np.asarray(state.params["class_fc"]["kernel"])
+                   - p_before["class_fc"]["kernel"]).max()
+    assert moved > 0
+
+    eval_step = engine.make_eval_step(cfg, model)
+    out = eval_step(state, sharded)
+    assert out["scores"].shape == (8, cfg.model.query_num, 6)
+    assert out["boxes"].shape == (8, cfg.model.query_num, 4)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_frozen_backbone_stays_frozen(rng):
+    cfg = _tiny_cfg()
+    cfg.train.lr_backbone = 0.0  # freeze whole backbone
+    model = build_model(cfg)
+    batch = _fake_batch(rng, cfg, 8)
+    state, tx, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=10)
+    train_step = engine.make_train_step(cfg, model, tx)
+
+    bb_before = jax.tree.map(np.asarray, state.params["backbone"])
+    state, _ = train_step(state, batch, jax.random.PRNGKey(1),
+                          jnp.float32(12.0))
+    diff = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state.params["backbone"], bb_before)
+    assert max(jax.tree.leaves(diff)) == 0.0

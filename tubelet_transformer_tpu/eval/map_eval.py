@@ -1,0 +1,160 @@
+"""Pascal-VOC style frame-mAP evaluation (numpy, host-side).
+
+Reimplements the *used subset* of the reference's vendored TF Object
+Detection API evaluator (evaluates/utils/{object_detection_evaluation,
+per_image_evaluation,metrics}.py):
+
+  * per image & class: greedy TP/FP assignment in the order detections are
+    provided (the reference sorts each image's detections by descending score
+    before adding, evaluate_ava.py:145-158; matching itself does NOT re-sort
+    — per_image_evaluation.py:322-327 has the sort commented out);
+  * a detection is TP iff its best-IoU ground-truth box clears the threshold
+    and that GT box is not already detected (per_image_evaluation.py:357-369);
+  * per class: cumulative precision/recall over globally score-sorted
+    detections (metrics.py:22-71), AP = area under the monotonically
+    decreasing precision envelope (metrics.py:74-124);
+  * mAP = nanmean of per-class APs; classes without GT give NaN
+    (object_detection_evaluation.py:666-737).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def np_box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of [y?,x?...] — here plain [x1,y1,x2,y2] boxes."""
+    if a.size == 0 or b.size == 0:
+        return np.zeros((a.shape[0], b.shape[0]))
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / np.maximum(union, np.finfo(np.float64).eps)
+
+
+def compute_precision_recall(scores, labels, num_gt):
+    """metrics.py:22-71 (None/None when the class has no ground truth)."""
+    if num_gt == 0:
+        return None, None
+    order = np.argsort(scores)[::-1]
+    tp = labels[order].astype(int)
+    fp = 1 - tp
+    cum_tp = np.cumsum(tp)
+    cum_fp = np.cumsum(fp)
+    precision = cum_tp.astype(float) / np.maximum(
+        cum_tp + cum_fp, np.finfo(np.float64).eps)
+    recall = cum_tp.astype(float) / num_gt
+    return precision, recall
+
+
+def compute_average_precision(precision, recall) -> float:
+    """VOC all-point AP with monotone precision envelope (metrics.py:74-124)."""
+    if precision is None:
+        return float("nan")
+    if precision.size == 0:
+        return 0.0
+    recall = np.concatenate([[0.0], recall, [1.0]])
+    precision = np.concatenate([[0.0], precision, [0.0]])
+    for i in range(len(precision) - 2, -1, -1):
+        precision[i] = max(precision[i], precision[i + 1])
+    idx = np.where(recall[1:] != recall[:-1])[0] + 1
+    return float(np.sum((recall[idx] - recall[idx - 1]) * precision[idx]))
+
+
+def per_image_tp_fp(det_boxes, det_scores, gt_boxes,
+                    iou_threshold: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Greedy TP/FP labels for one (image, class), detection order preserved
+    (per_image_evaluation.py:284-374, non-group-of path)."""
+    n = det_boxes.shape[0]
+    if n == 0:
+        return np.array([], float), np.array([], bool)
+    if gt_boxes.size == 0:
+        return det_scores, np.zeros(n, bool)
+    iou = np_box_iou(det_boxes, gt_boxes)
+    tp = np.zeros(n, bool)
+    gt_detected = np.zeros(gt_boxes.shape[0], bool)
+    best = np.argmax(iou, axis=1)
+    for i in range(n):
+        g = best[i]
+        if iou[i, g] >= iou_threshold and not gt_detected[g]:
+            tp[i] = True
+            gt_detected[g] = True
+    return det_scores, tp
+
+
+@dataclass
+class _ClassState:
+    scores: List[np.ndarray] = field(default_factory=list)
+    tp: List[np.ndarray] = field(default_factory=list)
+    num_gt: int = 0
+
+
+class PascalMAPEvaluator:
+    """Frame-mAP at a fixed IoU over integer class ids.
+
+    ``class_ids`` is the evaluated label set (e.g. the AVA 60-class
+    whitelist); GT/detections with other labels are ignored.
+    """
+
+    def __init__(self, class_ids, iou_threshold: float = 0.5):
+        self.iou_threshold = iou_threshold
+        self.class_ids = list(class_ids)
+        self._gt: Dict[str, Dict[int, np.ndarray]] = {}
+        self._state: Dict[int, _ClassState] = {
+            c: _ClassState() for c in self.class_ids}
+        self._det_images = set()
+
+    def add_ground_truth(self, image_key: str, boxes: np.ndarray,
+                         classes: np.ndarray) -> None:
+        if image_key in self._gt:
+            return  # reference ignores duplicate adds (raises; we dedupe)
+        per_class: Dict[int, np.ndarray] = {}
+        for c in self.class_ids:
+            sel = classes == c
+            if np.any(sel):
+                per_class[c] = boxes[sel]
+                self._state[c].num_gt += int(sel.sum())
+        self._gt[image_key] = per_class
+
+    def add_detections(self, image_key: str, boxes: np.ndarray,
+                       classes: np.ndarray, scores: np.ndarray) -> None:
+        """Detections for one image; sorted by descending score internally
+        (evaluate_ava.py:147)."""
+        if image_key in self._det_images:
+            return
+        self._det_images.add(image_key)
+        order = np.argsort(-scores, kind="stable")
+        boxes, classes, scores = boxes[order], classes[order], scores[order]
+        gt = self._gt.get(image_key, {})
+        for c in self.class_ids:
+            sel = classes == c
+            if not np.any(sel):
+                continue
+            s, tp = per_image_tp_fp(
+                boxes[sel], scores[sel], gt.get(c, np.zeros((0, 4))),
+                self.iou_threshold)
+            st = self._state[c]
+            st.scores.append(s)
+            st.tp.append(tp)
+
+    def evaluate(self) -> Tuple[float, Dict[int, float]]:
+        """Returns (mAP, per-class AP dict). mAP = nanmean over classes."""
+        aps: Dict[int, float] = {}
+        for c in self.class_ids:
+            st = self._state[c]
+            scores = (np.concatenate(st.scores) if st.scores
+                      else np.array([], float))
+            tp = (np.concatenate(st.tp) if st.tp else np.array([], bool))
+            p, r = compute_precision_recall(scores, tp, st.num_gt)
+            aps[c] = compute_average_precision(p, r)
+        vals = np.array(list(aps.values()), float)
+        with np.errstate(invalid="ignore"):
+            mean_ap = float(np.nanmean(vals)) if vals.size else float("nan")
+        return mean_ap, aps

@@ -1,0 +1,72 @@
+"""Device mesh and sharding layout.
+
+Replaces the reference's NCCL DDP runtime (pipelines/launch.py: one process
+per GPU, TCP rendezvous, IP-list rank matching) with the TPU-native model:
+one ``jax.sharding.Mesh`` over all chips, batch-dim ``NamedSharding`` for
+data parallelism over ICI, parameters replicated; XLA emits the gradient
+all-reduce inside the compiled train step. Multi-host initialization is
+``jax.distributed.initialize()`` + per-host data feeding.
+
+The mesh is declared 2-D ('data', 'model'): the 'model' axis is available
+for tensor-parallel sharding of the transformer (attention heads / FFN) when
+scaling beyond pure DP; size 1 by default, matching the reference's
+capability surface (DP only — SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(data: int = -1, model: int = 1,
+                devices: Optional[list] = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the 'data' mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch pytree onto the mesh, batch axis over 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def all_gather_host(x):
+    """Gather a per-host array across processes (fixed shape), replacing the
+    reference's filesystem-based rank exchange
+    (utils/video_action_recognition.py:404-453)."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(x)

@@ -60,6 +60,10 @@ def match_ava(pred_boxes, pred_logits_b, targets: TargetsAVA,
               cost_class: float, cost_bbox: float, cost_giou: float):
     """AVA matching: class cost = -P(actor) from the binary head
     (models/detr/matcher.py:71-72)."""
+    # Matching is a non-differentiable discrete assignment (reference runs
+    # it under no_grad): stop gradients so AD never sees the solver loops.
+    pred_boxes = jax.lax.stop_gradient(pred_boxes)
+    pred_logits_b = jax.lax.stop_gradient(pred_logits_b)
     p_actor = jax.nn.softmax(pred_logits_b, axis=-1)[..., 1]     # (B, Q)
     m = targets.boxes.shape[1]
     class_cost = -jnp.broadcast_to(
@@ -74,6 +78,8 @@ def match_ucf(pred_boxes, pred_logits, targets: TargetsUCF,
               cost_class: float, cost_bbox: float, cost_giou: float):
     """UCF/JHMDB matching: class cost = -softmax(logits)[tgt class]
     (models/detr/matcher_ucf.py:73-74)."""
+    pred_boxes = jax.lax.stop_gradient(pred_boxes)
+    pred_logits = jax.lax.stop_gradient(pred_logits)
     prob = jax.nn.softmax(pred_logits, axis=-1)                   # (B, Q, C+1)
     cls = jnp.clip(targets.labels, 0, prob.shape[-1] - 1)         # (B, M)
     class_cost = -jnp.take_along_axis(

@@ -1,0 +1,156 @@
+"""Train/eval engine: jit-compiled steps over the device mesh.
+
+Replaces the reference's per-iteration Python loop body
+(utils/video_action_recognition.py:77-220: host-side matcher sync, DDP
+backward, explicit clip/step/schedule calls) with one compiled XLA program:
+forward + on-device Hungarian matching + loss + grad + clip + AdamW + LR
+schedule, with the batch sharded over the 'data' mesh axis. XLA inserts the
+gradient all-reduce over ICI (the NCCL-DDP equivalent).
+
+The loss_ce weight swap after epoch WEIGHT_CHANGE
+(video_action_recognition.py:145-146) enters the step as a traced scalar so
+no recompile happens at the swap epoch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.train import criterion as crit
+from tubelet_transformer_tpu.train.optimizer import build_optimizer
+from tubelet_transformer_tpu.train.postprocess import (
+    postprocess_ava,
+    postprocess_softmax,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(cfg: Config, model, rng, sample_batch,
+                       steps_per_epoch: int):
+    variables = model.init({"params": rng}, sample_batch["clips"],
+                           sample_batch.get("pad_mask"), train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx, sched = build_optimizer(cfg, params, steps_per_epoch)
+    opt_state = tx.init(params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=opt_state)
+    return state, tx, sched
+
+
+def _targets_from_batch(cfg: Config, batch: Dict[str, jnp.ndarray]):
+    if cfg.data.dataset_name == "ava":
+        return crit.TargetsAVA(boxes=batch["boxes"], labels=batch["labels"],
+                               valid=batch["valid"])
+    return crit.TargetsUCF(boxes=batch["boxes"], labels=batch["labels"],
+                           valid=batch["valid"], vis=batch["vis"],
+                           key_pos=batch["key_pos"])
+
+
+def compute_losses(cfg: Config, outputs, targets, evaluation: bool = False):
+    if cfg.data.dataset_name == "ava":
+        return crit.criterion_ava(
+            outputs, targets,
+            cost_class=cfg.matcher.cost_class, cost_bbox=cfg.matcher.cost_bbox,
+            cost_giou=cfg.matcher.cost_giou, weight=cfg.loss.weight,
+            eos_coef=cfg.loss.eos_cof, aux_loss=cfg.train.aux_loss,
+            evaluation=evaluation)
+    return crit.criterion_ucf(
+        outputs, targets,
+        cost_class=cfg.matcher.cost_class, cost_bbox=cfg.matcher.cost_bbox,
+        cost_giou=cfg.matcher.cost_giou, eos_coef=cfg.loss.eos_cof,
+        num_classes=cfg.data.num_classes, num_queries=cfg.model.query_num,
+        aux_loss=cfg.train.aux_loss)
+
+
+def weighted_total(cfg: Config, loss_dict, loss_ce_weight):
+    """Weighted loss sum with the (traced) last-layer loss_ce weight."""
+    wd = crit.build_weight_dict(cfg)
+    total = loss_ce_weight * loss_dict["loss_ce"]
+    for k, w in wd.items():
+        if k == "loss_ce" or k not in loss_dict:
+            continue
+        total = total + w * loss_dict[k]
+    return total
+
+
+def make_train_step(cfg: Config, model, tx):
+    """Build the jitted train step: (state, batch, rng, loss_ce_w) -> ..."""
+
+    def train_step(state: TrainState, batch, rng, loss_ce_weight):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            outputs, new_model_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["clips"], batch.get("pad_mask"), train=True,
+                mutable=["batch_stats"], rngs={"dropout": step_rng})
+            targets = _targets_from_batch(cfg, batch)
+            loss_dict = compute_losses(cfg, outputs, targets)
+            total = weighted_total(cfg, loss_dict, loss_ce_weight)
+            return total, (new_model_state["batch_stats"], loss_dict)
+
+        (total, (new_bs, loss_dict)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # NaN guard (reference exits on non-finite loss,
+        # video_action_recognition.py:195-198): skip the update instead and
+        # surface the flag in metrics so the host loop can decide.
+        finite = jnp.isfinite(total)
+        new_params = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_params, state.params)
+
+        metrics = dict(loss_dict)
+        metrics["total_loss"] = total
+        metrics["finite"] = finite.astype(jnp.float32)
+        metrics["grad_norm"] = optax.global_norm(grads)
+
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(cfg: Config, model):
+    """Jitted eval step: forward + losses + on-device postprocess."""
+    postprocess = (postprocess_ava if cfg.data.dataset_name == "ava"
+                   else postprocess_softmax)
+
+    def eval_step(state: TrainState, batch):
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["clips"], batch.get("pad_mask"), train=False)
+        targets = _targets_from_batch(cfg, batch)
+        loss_dict = compute_losses(cfg, outputs, targets, evaluation=True)
+        scores, boxes, binary = postprocess(outputs, batch["sizes"])
+        return {"scores": scores, "boxes": boxes, "binary": binary,
+                "losses": loss_dict}
+
+    return jax.jit(eval_step)
+
+
+def make_forward(cfg: Config, model):
+    """Plain jitted inference forward (benchmark / serving path)."""
+
+    def forward(variables, clips, pad_mask=None):
+        return model.apply(variables, clips, pad_mask, train=False)
+
+    return jax.jit(forward)
