@@ -42,6 +42,44 @@ def _stub_torchvision():
 
     tf = types.ModuleType("torchvision.transforms")
     tfunc = types.ModuleType("torchvision.transforms.functional")
+
+    # Minimal faithful implementations of the torchvision functional API the
+    # reference transforms call (PIL-backed), so the reference box-transform
+    # math can run as an oracle.
+    import numpy as _np
+    from PIL import Image as _Image
+
+    def _crop(img, top, left, height, width):
+        return img.crop((left, top, left + width, top + height))
+
+    def _hflip(img):
+        return img.transpose(_Image.FLIP_LEFT_RIGHT)
+
+    def _resize(img, size, *a, **k):
+        if isinstance(size, (list, tuple)):
+            h, w = size
+        else:
+            ow, oh = img.size
+            if ow < oh:
+                w, h = size, int(size * oh / ow)
+            else:
+                h, w = size, int(size * ow / oh)
+        return img.resize((int(w), int(h)), _Image.BILINEAR)
+
+    def _to_tensor(img):
+        arr = _np.asarray(img, dtype=_np.float32) / 255.0
+        return torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+    def _normalize(t, mean, std, *a, **k):
+        mean = torch.tensor(mean).view(-1, 1, 1)
+        std = torch.tensor(std).view(-1, 1, 1)
+        return (t - mean) / std
+
+    tfunc.crop = _crop
+    tfunc.hflip = _hflip
+    tfunc.resize = _resize
+    tfunc.to_tensor = _to_tensor
+    tfunc.normalize = _normalize
     tf.functional = tfunc
 
     tv.ops = ops

@@ -1,0 +1,136 @@
+"""Integration tests: AVA/JHMDB datasets over synthesized on-disk fixtures,
+through the threaded DataLoader, yielding static-shape batches."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.data.ava import AVADataset
+from tubelet_transformer_tpu.data.jhmdb import JHMDBDataset
+from tubelet_transformer_tpu.data.loader import DataLoader
+from tubelet_transformer_tpu.data.synthetic import SyntheticAVADataset
+
+
+def _cfg(tmp_path, dataset="ava"):
+    cfg = Config()
+    cfg.data.dataset_name = dataset
+    cfg.data.temp_len = 8
+    cfg.data.frame_rate = 2
+    cfg.data.img_size = 32
+    cfg.data.img_reshape_size = 36
+    cfg.data.max_boxes = 6
+    cfg.data.num_classes = 10
+    cfg.data.data_path = str(tmp_path / "frames")
+    cfg.data.anno_path = str(tmp_path / "anno_{}.json") if dataset == "ava" \
+        else str(tmp_path)
+    return cfg
+
+
+def _make_ava_fixture(tmp_path, rng, n_videos=2, n_keys=4):
+    frames_root = tmp_path / "frames"
+    video_frame_bbox = {}
+    keys = []
+    for v in range(n_videos):
+        vid = f"vid{v}"
+        d = frames_root / vid
+        d.mkdir(parents=True)
+        for i in range(80):
+            arr = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"frame_{i:05d}.jpg")
+        for k in range(n_keys // n_videos):
+            sec = 901 + k
+            key = f"{vid},{sec:04d}"
+            keys.append(key)
+            video_frame_bbox[key] = {
+                "bboxes": [[0.2, 0.2, 0.7, 0.8], [0.4, 0.1, 0.9, 0.6]],
+                "acts": [[1, 3], [2]],
+            }
+    for split in ("train", "val"):
+        with open(tmp_path / f"anno_{split}.json", "w") as f:
+            json.dump({"video_frame_bbox": video_frame_bbox,
+                       "frame_keys_list": keys}, f)
+
+
+def test_ava_dataset_and_loader(tmp_path, rng):
+    _make_ava_fixture(tmp_path, rng)
+    cfg = _cfg(tmp_path)
+    for split in ("train", "val"):
+        ds = AVADataset(cfg, split)
+        assert len(ds) == 4
+        s = ds.get(0, rng)
+        ch, cw = ds.canvas
+        assert s["clips"].shape == (8, ch, cw, 3)
+        assert s["pad_mask"].shape == (ch, cw)
+        assert s["boxes"].shape == (6, 4)
+        assert s["labels"].shape == (6, 10)
+        assert s["valid"].sum() >= 1
+        # valid boxes are normalized cxcywh
+        vb = s["boxes"][s["valid"]]
+        assert (vb >= 0).all() and (vb <= 1.0 + 1e-6).all()
+        # mask marks the padding beyond the valid region
+        h, w = s["sizes"].astype(int)
+        assert not s["pad_mask"][:h, :w].any()
+        assert s["pad_mask"][h:, :].all() or h == ch
+
+        loader = DataLoader(ds, batch_size=2, shuffle=(split == "train"),
+                            num_workers=2, rank=0, world=2)
+        batches = list(loader)
+        assert len(batches) == len(loader)
+        b = batches[0]
+        assert b["clips"].shape[0] == 2
+        assert len(b["image_key"]) == 2
+
+
+def _make_jhmdb_fixture(tmp_path, rng):
+    vids = ["cls/video0", "cls/video1"]
+    nframes = {v: 12 for v in vids}
+    resolution = {v: (48, 64) for v in vids}
+    gttubes = {}
+    for v in vids:
+        tube = np.stack([
+            np.arange(12, dtype=np.float32),
+            np.full(12, 8.0), np.full(12, 6.0),
+            np.full(12, 40.0), np.full(12, 30.0)], axis=1)
+        gttubes[v] = {3: [tube]}
+        d = tmp_path / "frames" / v
+        d.mkdir(parents=True)
+        for i in range(12):
+            arr = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i + 1:05d}.png")
+    with open(tmp_path / "JHMDB-GT.pkl", "wb") as f:
+        pickle.dump({
+            "train_videos": [vids], "test_videos": [vids],
+            "nframes": nframes, "resolution": resolution,
+            "gttubes": gttubes,
+            "labels": [f"action{i}" for i in range(21)],
+        }, f)
+
+
+def test_jhmdb_dataset(tmp_path, rng):
+    _make_jhmdb_fixture(tmp_path, rng)
+    cfg = _cfg(tmp_path, dataset="jhmdb")
+    ds = JHMDBDataset(cfg, "val")
+    assert len(ds) == 24
+    s = ds.get(5, rng)
+    assert s["clips"].shape[0] == 8
+    assert s["labels"].dtype == np.int32
+    assert s["vis"] == 1
+    assert int(s["key_pos"]) == 4
+    assert s["valid"].sum() == 1
+
+
+def test_synthetic_dataset(rng):
+    cfg = Config()
+    cfg.data.img_size = 32
+    cfg.data.temp_len = 4
+    cfg.data.max_boxes = 5
+    cfg.data.num_classes = 7
+    ds = SyntheticAVADataset(cfg, size=10)
+    s = ds.get(3, rng)
+    assert s["clips"].shape == (4, 32, 32, 3)
+    assert s["valid"].any()

@@ -1,0 +1,180 @@
+"""AVA keyframe dataset (frame-JPEG directories + JSON annotations).
+
+Host-side re-implementation of the reference ``datasets/ava_frame.py``:
+same annotation JSON format ({"video_frame_bbox", "frame_keys_list"}, keys
+"vid,ssss"), same 32-frame stride-2 sampling centered at the keyframe
+(ava_frame.py:41-43), same aspect-preserving short-side pre-resize with
+truncating box scaling (:82-114), same train/val transform pipelines — but
+emitting fixed-shape samples (static canvas + padded box targets) for XLA.
+
+Defects in the reference deliberately fixed (SURVEY §7):
+  * frame globbing honours the video id ({} template or subdirectory) instead
+    of globbing a single pre-formatted directory (ava_frame.py:134-135);
+  * deprecated np.int is plain int();
+  * empty-box resampling is bounded and deterministic per (epoch, index).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from glob import glob
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.data import transforms as T
+
+
+def _frame_dir(data_path: str, vid: str) -> str:
+    if "{}" in data_path:
+        return data_path.format(vid)
+    return os.path.join(data_path, vid)
+
+
+class AVADataset:
+    """Map-style dataset over AVA keyframes; ``get(idx, rng)`` -> sample dict.
+
+    Sample dict (static shapes):
+      clips (T, Hc, Wc, 3) float32 normalized; pad_mask (Hc, Wc) bool;
+      boxes (M, 4) normalized cxcywh; labels (M, C); valid (M,);
+      sizes (2,) float32 [h, w] of the valid region; image_key str;
+      key_pos int.
+    """
+
+    def __init__(self, cfg: Config, split: str):
+        self.cfg = cfg
+        self.split = split
+        anno_path = cfg.data.anno_path.format(split)
+        with open(anno_path) as f:
+            anno = json.load(f)
+        self.video_frame_bbox = anno["video_frame_bbox"]
+        self.keys: List[str] = list(anno["frame_keys_list"])
+        self.clip_len = cfg.data.temp_len
+        self.frame_rate = cfg.data.frame_rate
+        self.num_classes = cfg.data.num_classes
+        self.img_size = cfg.data.img_size
+        self.resize_size = (cfg.data.img_reshape_size if split == "train"
+                            else cfg.data.img_size)
+        self.canvas = T.default_canvas(cfg.data.img_size)
+        self.max_boxes = cfg.data.max_boxes
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    def _load_frames(self, vid: str, start: int, nh: int, nw: int):
+        from PIL import Image
+
+        frame_list = sorted(glob(_frame_dir(self.cfg.data.data_path, vid)
+                                 + "/*.jpg"))
+        if not frame_list:
+            raise FileNotFoundError(
+                f"no frames for {vid} under {self.cfg.data.data_path}")
+        idxs = np.clip(
+            np.arange(start, start + self.clip_len * self.frame_rate,
+                      self.frame_rate), 0, len(frame_list) - 1)
+        frames = []
+        for i in idxs:
+            img = Image.open(frame_list[int(i)]).convert("RGB")
+            frames.append(np.asarray(img.resize((nw, nh))))
+        return np.stack(frames)
+
+    def _annotation(self, frame_key: str, nh: int, nw: int):
+        anno = self.video_frame_bbox[frame_key]
+        boxes, labels = [], []
+        for i, bbox in enumerate(anno["bboxes"]):
+            lab = np.zeros((self.num_classes,), np.float32)
+            for l in anno["acts"][i]:
+                lab[l] = 1.0
+            if lab.sum() == 0:
+                continue
+            boxes.append([int(bbox[0] * nw), int(bbox[1] * nh),
+                          int(bbox[2] * nw), int(bbox[3] * nh)])
+            labels.append(lab)
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        if boxes.shape[0]:
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, int(nw))
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, nh)
+        labels = np.asarray(labels, np.float32).reshape(-1, self.num_classes)
+        return boxes, labels
+
+    def _try_sample(self, index: int, rng: np.random.Generator):
+        frame_key = self.keys[index]
+        vid, frame_second = frame_key.split(",")
+        timef = int(frame_second) - 900
+        start = max(timef * 30 - self.clip_len // 2 * self.frame_rate, 0)
+
+        # aspect-preserving short-side pre-resize target (ava_frame.py:86-91)
+        # resolution comes from the first frame.
+        from PIL import Image
+
+        frame_list = sorted(glob(_frame_dir(self.cfg.data.data_path, vid)
+                                 + "/*.jpg"))
+        if not frame_list:
+            return None
+        with Image.open(frame_list[0]) as im:
+            ow, oh = im.size
+        if oh <= ow:
+            nh = self.resize_size
+            nw = int(self.resize_size * (ow / oh))
+        else:
+            nw = self.resize_size
+            nh = int(self.resize_size * (oh / ow))
+
+        boxes, labels = self._annotation(frame_key, nh, nw)
+        if boxes.shape[0] == 0:
+            return None
+        clip = self._load_frames(vid, start, nh, nw)
+
+        if self.split == "train":
+            clip, boxes, labels = T.train_transform_ava(
+                clip, boxes, labels, self.img_size, rng)
+        else:
+            clip, boxes, labels = T.val_transform_ava(
+                clip, boxes, labels, self.img_size)
+        if boxes.shape[0] == 0:
+            return None
+        return self._finalize(clip, boxes, labels, frame_key)
+
+    def _finalize(self, clip, boxes, labels, frame_key):
+        # boxes here are already normalized cxcywh w.r.t. the crop size.
+        t, h, w = clip.shape[:3]
+        denorm = boxes * np.array([w, h, w, h], np.float32)
+        # (normalized boxes survive canvas fitting: scale cancels.)
+        clip_u8like = clip  # already float-normalized; fit via cv2-free path
+        ch, cw = self.canvas
+        scale = min(ch / h, cw / w, 1.0)
+        if scale < 1.0:
+            import cv2
+
+            nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+            clip_u8like = np.stack([
+                cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
+                for f in clip_u8like])
+            h, w = nh, nw
+        padded, mask = T.pad_to_canvas(clip_u8like, self.canvas)
+
+        pad_boxes, pad_labels, valid = T.pad_targets(
+            boxes, labels, self.max_boxes, multilabel=True,
+            num_classes=self.num_classes)
+        return {
+            "clips": padded.astype(np.float32),
+            "pad_mask": mask,
+            "boxes": pad_boxes,
+            "labels": pad_labels,
+            "valid": valid,
+            "sizes": np.array([h, w], np.float32),
+            "image_key": frame_key.replace(",", "_"),
+            "key_pos": self.clip_len // 2,
+        }
+
+    def get(self, index: int, rng: np.random.Generator):
+        """Load one sample; resamples (bounded) on empty targets like the
+        reference (ava_frame.py:53-69)."""
+        for _ in range(20):
+            s = self._try_sample(index, rng)
+            if s is not None:
+                return s
+            index = int(rng.integers(0, len(self.keys)))
+        raise RuntimeError("AVA sampling failed 20 times in a row")

@@ -1,0 +1,135 @@
+"""JHMDB / UCF24 per-frame tubelet dataset (ACT-detector pickle format).
+
+Host-side re-implementation of ``datasets/jhmdb_frame.py``: same
+``JHMDB-GT.pkl`` schema (gttubes / nframes / resolution / labels /
+train_videos / test_videos), same per-frame sample enumeration over every
+frame of every split video (:80-84), same boundary-padded clip sampling
+(:201-208), same keyframe-box extraction with truncating coordinate scaling
+(:140-156) — emitting fixed-shape samples for XLA.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import List, Tuple
+
+import numpy as np
+
+from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.data import transforms as T
+
+
+class JHMDBDataset:
+    """Sample dict: clips/pad_mask/boxes/labels(valid int ids)/valid/vis/
+    key_pos/sizes/image_key."""
+
+    def __init__(self, cfg: Config, split: str):
+        self.cfg = cfg
+        self.split = split
+        cache_file = os.path.join(cfg.data.anno_path, "JHMDB-GT.pkl")
+        with open(cache_file, "rb") as f:
+            self.dataset = pickle.load(f, encoding="iso-8859-1")
+        vids = (self.dataset["train_videos"][0] if split == "train"
+                else self.dataset["test_videos"][0])
+        self.samples: List[Tuple[str, int]] = [
+            (vid, i) for vid in vids
+            for i in range(self.dataset["nframes"][vid])]
+        self.clip_len = cfg.data.temp_len
+        self.img_size = cfg.data.img_size
+        self.resize_size = (cfg.data.img_reshape_size if split == "train"
+                            else cfg.data.img_size)
+        self.canvas = T.default_canvas(cfg.data.img_size)
+        self.max_boxes = cfg.data.max_boxes
+        self.num_classes = cfg.data.num_classes
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def _load_frames(self, vid: str, mid: int, nh: int, nw: int):
+        from PIL import Image
+
+        p_t = self.clip_len // 2
+        nframes = self.dataset["nframes"][vid]
+        start = max(mid - p_t, 0)
+        end = min(mid + self.clip_len - p_t, nframes - 1)
+        ids = list(range(start, end))
+        if len(ids) < self.clip_len:
+            front = (self.clip_len - len(ids)) // 2
+            ids = [0] * front + ids + [end] * (self.clip_len - len(ids) - front)
+        frames = []
+        for i in ids:
+            path = os.path.join(self.cfg.data.data_path, vid,
+                                "{:0>5}.png".format(i + 1))
+            img = Image.open(path).convert("RGB")
+            frames.append(np.asarray(img.resize((nw, nh))))
+        return np.stack(frames)
+
+    def get(self, index: int, rng: np.random.Generator):
+        vid, frame_id = self.samples[index]
+        p_t = self.clip_len // 2
+
+        oh, ow = self.dataset["resolution"][vid]
+        if oh <= ow:
+            nh = self.resize_size
+            nw = int(self.resize_size * (ow / oh))
+        else:
+            nw = self.resize_size
+            nh = int(self.resize_size * (oh / ow))
+
+        boxes, labels = [], []
+        vis = 0
+        for ilabel, tubes in self.dataset["gttubes"][vid].items():
+            for tube in tubes:
+                row = tube[tube[:, 0] == frame_id, 0:5]
+                if len(row):
+                    b = row[0]
+                    boxes.append([int(b[1] / ow * nw), int(b[2] / oh * nh),
+                                  int(b[3] / ow * nw), int(b[4] / oh * nh)])
+                    labels.append(int(np.clip(ilabel, 0, 24)))
+                    vis = 1
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        if boxes.shape[0]:
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, nw)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, nh)
+        labels = np.asarray(labels, np.int32)
+
+        clip = self._load_frames(vid, frame_id, nh, nw)
+        if self.split == "train":
+            clip, boxes, labels = T.train_transform_ava(
+                clip, boxes, labels, self.img_size, rng)
+        else:
+            clip, boxes, labels = T.val_transform_ava(
+                clip, boxes, labels, self.img_size)
+
+        if self.split != "train" and boxes.shape[0] == 0:
+            # test mode injects a dummy box (jhmdb_frame.py:108-113)
+            t, h, w = clip.shape[:3]
+            boxes = np.array([[0.5 / w, 0.5 / h, 1.0 / w, 1.0 / h]],
+                             np.float32)
+            labels = np.array([0], np.int32)
+
+        t, h, w = clip.shape[:3]
+        ch, cw = self.canvas
+        scale = min(ch / h, cw / w, 1.0)
+        if scale < 1.0:
+            import cv2
+
+            nh2, nw2 = max(int(h * scale), 1), max(int(w * scale), 1)
+            clip = np.stack([cv2.resize(f, (nw2, nh2)) for f in clip])
+            h, w = nh2, nw2
+        padded, mask = T.pad_to_canvas(clip, self.canvas)
+        pad_boxes, pad_labels, valid = T.pad_targets(
+            boxes, labels, self.max_boxes, multilabel=False,
+            num_classes=self.num_classes)
+        return {
+            "clips": padded.astype(np.float32),
+            "pad_mask": mask,
+            "boxes": pad_boxes,
+            "labels": pad_labels,
+            "valid": valid,
+            "vis": np.int32(vis),
+            "key_pos": np.int32(p_t),
+            "sizes": np.array([h, w], np.float32),
+            "image_key": str(vid).replace("/", "_") + "-" + str(frame_id),
+        }

@@ -1,0 +1,96 @@
+"""Threaded prefetching data loader with per-host sharding.
+
+Replaces torch DataLoader + DistributedSampler (ava_frame.py:269-283):
+  * per-host index shard (keys[rank::world]) with per-epoch shuffling,
+    drop_last batching — the DistributedSampler contract;
+  * a thread pool decodes/augments samples ahead of consumption (JPEG decode
+    of 32 frames/sample is the host-side bottleneck — SURVEY §7 hard part 5);
+  * batches are stacked numpy arrays ready for ``jax.device_put`` with a
+    batch-axis NamedSharding (string fields travel alongside, not on device).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+_STRING_KEYS = ("image_key",)
+
+
+def collate(samples: List[Dict]) -> Dict:
+    """Stack a list of fixed-shape sample dicts into one batch dict."""
+    out: Dict = {}
+    for k in samples[0]:
+        if k in _STRING_KEYS:
+            out[k] = [s[k] for s in samples]
+        else:
+            out[k] = np.stack([np.asarray(s[k]) for s in samples])
+    return out
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool,
+                 seed: int = 0, rank: int = 0, world: int = 1,
+                 num_workers: int = 8, drop_last: bool = True,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rank = rank
+        self.world = world
+        self.num_workers = max(num_workers, 1)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> List[int]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # DistributedSampler contract: pad to a multiple of world, then shard.
+        if self.world > 1:
+            per = (n + self.world - 1) // self.world
+            idx = np.concatenate([idx, idx[: per * self.world - n]])
+            idx = idx[self.rank::self.world]
+        return idx.tolist()
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict]:
+        indices = self._indices()
+        nb = len(self)
+        batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+
+        def load_one(args):
+            epoch_seed, index = args
+            rng = np.random.default_rng(
+                (self.seed * 1_000_003 + epoch_seed) ^ (index * 2_654_435_761))
+            return self.dataset.get(index, rng)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = []
+            ahead = min(self.prefetch, len(batches))
+            for b in range(ahead):
+                pending.append([pool.submit(load_one, (self.epoch, i))
+                                for i in batches[b]])
+            for b in range(len(batches)):
+                if b + ahead < len(batches):
+                    pending.append([pool.submit(load_one, (self.epoch, i))
+                                    for i in batches[b + ahead]])
+                futs = pending[b]
+                yield collate([f.result() for f in futs])

@@ -1,0 +1,60 @@
+"""Synthetic datasets (no files needed) for tests, smoke-training and bench.
+
+Produces the same fixed-shape sample dicts as the real AVA/JHMDB datasets,
+with boxes whose position is weakly correlated with a bright blob painted
+into the clip — enough signal for an end-to-end train-smoke loss decrease.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.data import transforms as T
+
+
+class SyntheticAVADataset:
+    def __init__(self, cfg: Config, size: int = 64, square: bool = True):
+        self.cfg = cfg
+        self.size = size
+        c = cfg.data.img_size
+        self.canvas = (c, c) if square else T.default_canvas(c)
+
+    def __len__(self) -> int:
+        return self.size
+
+    def get(self, index: int, rng: np.random.Generator) -> Dict:
+        cfg = self.cfg
+        t = cfg.data.temp_len
+        ch, cw = self.canvas
+        m, c = cfg.data.max_boxes, cfg.data.num_classes
+
+        clip = rng.normal(0, 0.3, (t, ch, cw, 3)).astype(np.float32)
+        n = int(rng.integers(1, min(m, 4) + 1))
+        boxes = np.zeros((m, 4), np.float32)
+        labels = np.zeros((m, c), np.float32)
+        valid = np.zeros((m,), bool)
+        for i in range(n):
+            cx, cy = rng.uniform(0.25, 0.75, 2)
+            w, h = rng.uniform(0.15, 0.3, 2)
+            boxes[i] = [cx, cy, w, h]
+            cls = int(rng.integers(0, c))
+            labels[i, cls] = 1.0
+            valid[i] = True
+            # paint a blob so the task is learnable
+            x0, x1 = int((cx - w / 2) * cw), int((cx + w / 2) * cw)
+            y0, y1 = int((cy - h / 2) * ch), int((cy + h / 2) * ch)
+            clip[:, max(y0, 0):y1, max(x0, 0):x1] += 1.0 + 0.1 * cls
+
+        return {
+            "clips": clip,
+            "pad_mask": np.zeros((ch, cw), bool),
+            "boxes": boxes,
+            "labels": labels,
+            "valid": valid,
+            "sizes": np.array([ch, cw], np.float32),
+            "image_key": f"synth,{900 + index:04d}",
+            "key_pos": t // 2,
+        }
