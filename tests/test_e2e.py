@@ -1,0 +1,52 @@
+"""End-to-end smoke: full training run (synthetic data) through the runner —
+loops, checkpointing, validation mAP — on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.cli import runner
+
+
+def _smoke_cfg(tmp_path):
+    cfg = Config()
+    cfg.data.dataset_name = "synthetic"
+    cfg.data.num_classes = 5
+    cfg.data.max_boxes = 4
+    cfg.data.img_size = 32
+    cfg.data.temp_len = 8
+    cfg.data.num_workers = 2
+    cfg.model.backbone_name = "CSN-50"
+    cfg.model.query_num = 5
+    cfg.model.temp_len = 8
+    cfg.model.enc_layers = 1
+    cfg.model.dec_layers = 2
+    cfg.model.d_model = 64
+    cfg.model.nhead = 4
+    cfg.model.dim_feedforward = 64
+    cfg.model.compute_dtype = "float32"
+    cfg.model.temporal_ds_strategy = "avg"
+    cfg.train.batch_size = 8
+    cfg.train.epoch_num = 1
+    cfg.train.lr = 1e-4
+    cfg.val.batch_size = 8
+    cfg.val.freq = 1
+    cfg.log.base_path = str(tmp_path)
+    cfg.log.display_freq = 2
+    return cfg
+
+
+def test_training_smoke(tmp_path):
+    cfg = _smoke_cfg(tmp_path)
+    runner.run_training(cfg)
+    # checkpoint written and metrics logged
+    import glob
+    import json
+
+    ckpts = glob.glob(str(tmp_path / "*" / "checkpoints" / "ckpt_epoch_*"))
+    assert ckpts, "no checkpoint written"
+    logs = glob.glob(str(tmp_path / "*" / "tb_log" / "metrics.jsonl"))
+    assert logs
+    tags = {json.loads(l)["tag"] for l in open(logs[0])}
+    assert "train/total_loss" in tags
+    assert "val/val_mAP_epoch" in tags

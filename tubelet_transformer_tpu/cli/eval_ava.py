@@ -1,0 +1,9 @@
+"""CLI: eval on ava (reference eval_tuber_ava.py equivalent).
+
+Usage: python -m tubelet_transformer_tpu.cli.eval_ava --config-file <yaml>
+"""
+
+from tubelet_transformer_tpu.cli.runner import main
+
+if __name__ == "__main__":
+    main("eval", "ava")

@@ -1,0 +1,158 @@
+"""Shared train/eval runners behind the CLI entry points.
+
+Replaces the reference's per-entry-point ``main_worker`` + ``spawn_workers``
+(one process per GPU, pipelines/launch.py): under JAX one process drives all
+local chips; multi-host runs call ``jax.distributed.initialize()`` once and
+feed per-host data shards.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.data.loader import DataLoader
+from tubelet_transformer_tpu.models.tuber import build_model
+from tubelet_transformer_tpu.parallel import mesh as mesh_lib
+from tubelet_transformer_tpu.train import checkpoint as ckpt_lib
+from tubelet_transformer_tpu.train import engine
+from tubelet_transformer_tpu.train import loop as loop_lib
+from tubelet_transformer_tpu.utils import MetricsWriter, build_log_dir
+
+
+def build_dataset(cfg: Config, split: str):
+    name = cfg.data.dataset_name
+    if name == "ava":
+        from tubelet_transformer_tpu.data.ava import AVADataset
+
+        return AVADataset(cfg, split)
+    if name in ("jhmdb", "ucf"):
+        from tubelet_transformer_tpu.data.jhmdb import JHMDBDataset
+
+        return JHMDBDataset(cfg, split)
+    if name == "synthetic":
+        from tubelet_transformer_tpu.data.synthetic import SyntheticAVADataset
+
+        return SyntheticAVADataset(cfg, size=64)
+    raise ValueError(f"unknown dataset {name!r}")
+
+
+def make_loaders(cfg: Config):
+    rank, world = jax.process_index(), jax.process_count()
+    train_ds = build_dataset(cfg, "train")
+    val_ds = build_dataset(cfg, "val")
+    train_loader = DataLoader(train_ds, cfg.train.batch_size, shuffle=True,
+                              seed=cfg.train.seed, rank=rank, world=world,
+                              num_workers=cfg.data.num_workers)
+    val_loader = DataLoader(val_ds, cfg.val.batch_size, shuffle=False,
+                            rank=rank, world=world,
+                            num_workers=cfg.data.num_workers,
+                            drop_last=True)
+    return train_loader, val_loader
+
+
+def init_state(cfg: Config, model, steps_per_epoch: int, sample_batch):
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state, tx, sched = engine.create_train_state(
+        cfg, model, rng, sample_batch, steps_per_epoch)
+    # Foreign pretrained weights (reference order, model_utils.deploy_model).
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    new_vars = ckpt_lib.load_pretrained(cfg, variables)
+    if new_vars is not variables:
+        state = state.replace(params=new_vars["params"],
+                              batch_stats=new_vars["batch_stats"])
+    return state, tx
+
+
+def _sample_batch_from(loader) -> dict:
+    for batch in loader:
+        return {k: v for k, v in batch.items()
+                if k in loop_lib._DEVICE_KEYS}
+    raise RuntimeError("empty loader")
+
+
+def _validate(cfg, eval_step, state, val_loader, mesh, epoch, writer):
+    if cfg.data.dataset_name in ("jhmdb", "ucf"):
+        return loop_lib.validate_ucf(cfg, eval_step, state, val_loader,
+                                     mesh, epoch, writer)
+    return loop_lib.validate_ava(cfg, eval_step, state, val_loader, mesh,
+                                 epoch, writer)
+
+
+def run_training(cfg: Config) -> None:
+    mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
+    is_main = mesh_lib.is_main_process()
+    dirs = build_log_dir(cfg) if is_main else None
+    writer = MetricsWriter(dirs["tb"], enabled=True) if is_main else None
+
+    train_loader, val_loader = make_loaders(cfg)
+    steps_per_epoch = len(train_loader)
+    model = build_model(cfg)
+
+    sample_batch = _sample_batch_from(train_loader)
+    state, tx = init_state(cfg, model, steps_per_epoch, sample_batch)
+
+    start_epoch = cfg.train.start_epoch
+    if cfg.model.load and not cfg.model.pretrained_path:
+        latest = ckpt_lib.latest_checkpoint(dirs["ckpt"]) if dirs else None
+        if latest:
+            state, start_epoch, _ = ckpt_lib.load_checkpoint(latest, state)
+            start_epoch += 1
+
+    train_step = engine.make_train_step(cfg, model, tx)
+    eval_step = engine.make_eval_step(cfg, model)
+    rng = jax.random.PRNGKey(cfg.train.seed + 7)
+
+    print(f"Start training on {jax.device_count()} devices "
+          f"({jax.process_count()} hosts), {steps_per_epoch} steps/epoch")
+    t0 = time.time()
+    for epoch in range(start_epoch, cfg.train.epoch_num):
+        state, _ = loop_lib.train_one_epoch(
+            cfg, train_step, state, train_loader, mesh, rng, epoch, writer)
+        if is_main and (epoch % cfg.log.save_freq == 0
+                        or epoch == cfg.train.epoch_num - 1):
+            ckpt_lib.save_checkpoint(dirs["ckpt"], state, epoch, cfg=cfg)
+        if epoch % cfg.val.freq == 0 or epoch == cfg.train.epoch_num - 1:
+            _validate(cfg, eval_step, state, val_loader, mesh, epoch, writer)
+    if writer:
+        writer.close()
+    print(f"Training time {time.time() - t0:.0f}s")
+
+
+def run_eval(cfg: Config) -> dict:
+    mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
+    _, val_loader = make_loaders(cfg)
+    model = build_model(cfg)
+    sample_batch = _sample_batch_from(val_loader)
+    state, _ = init_state(cfg, model, steps_per_epoch=1,
+                          sample_batch=sample_batch)
+    if not (cfg.model.load and cfg.model.pretrained_path):
+        raise ValueError("eval requires MODEL.LOAD with PRETRAINED_PATH")
+    eval_step = engine.make_eval_step(cfg, model)
+    return _validate(cfg, eval_step, state, val_loader, mesh, epoch=0,
+                     writer=None)
+
+
+def main(mode: str, default_dataset: str) -> None:
+    import argparse
+
+    from tubelet_transformer_tpu.config import load_config
+
+    parser = argparse.ArgumentParser(
+        description="TubeR-TPU video action detection")
+    parser.add_argument("--config-file", default=None,
+                        help="path to a YAML config (reference format OK)")
+    args = parser.parse_args()
+    cfg = load_config(args.config_file)
+    if not args.config_file:
+        cfg.data.dataset_name = default_dataset
+    if mode == "train":
+        run_training(cfg)
+    else:
+        cfg.eval_only = True
+        run_eval(cfg)

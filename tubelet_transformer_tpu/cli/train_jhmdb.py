@@ -1,0 +1,9 @@
+"""CLI: train on jhmdb (reference train_tuber_jhmdb.py equivalent).
+
+Usage: python -m tubelet_transformer_tpu.cli.train_jhmdb --config-file <yaml>
+"""
+
+from tubelet_transformer_tpu.cli.runner import main
+
+if __name__ == "__main__":
+    main("train", "jhmdb")

@@ -135,14 +135,13 @@ class AVADataset:
                 clip, boxes, labels, self.img_size)
         if boxes.shape[0] == 0:
             return None
-        return self._finalize(clip, boxes, labels, frame_key)
+        return self._finalize(clip, boxes, labels, frame_key, index)
 
-    def _finalize(self, clip, boxes, labels, frame_key):
+    def _finalize(self, clip, boxes, labels, frame_key, index):
         # boxes here are already normalized cxcywh w.r.t. the crop size.
         t, h, w = clip.shape[:3]
-        denorm = boxes * np.array([w, h, w, h], np.float32)
-        # (normalized boxes survive canvas fitting: scale cancels.)
-        clip_u8like = clip  # already float-normalized; fit via cv2-free path
+        # normalized boxes survive canvas fitting: the scale cancels.
+        clip_u8like = clip
         ch, cw = self.canvas
         scale = min(ch / h, cw / w, 1.0)
         if scale < 1.0:
@@ -166,6 +165,7 @@ class AVADataset:
             "valid": valid,
             "sizes": np.array([h, w], np.float32),
             "image_key": frame_key.replace(",", "_"),
+            "key_idx": np.int32(index),
             "key_pos": self.clip_len // 2,
         }
 

@@ -103,10 +103,9 @@ class JHMDBDataset:
                 clip, boxes, labels, self.img_size)
 
         if self.split != "train" and boxes.shape[0] == 0:
-            # test mode injects a dummy box (jhmdb_frame.py:108-113)
-            t, h, w = clip.shape[:3]
-            boxes = np.array([[0.5 / w, 0.5 / h, 1.0 / w, 1.0 / h]],
-                             np.float32)
+            # test mode injects the reference's dummy box [0, 0, 1, 1]
+            # (post-transform normalized cxcywh layout, jhmdb_frame.py:108-113)
+            boxes = np.array([[0.0, 0.0, 1.0, 1.0]], np.float32)
             labels = np.array([0], np.int32)
 
         t, h, w = clip.shape[:3]
@@ -132,4 +131,5 @@ class JHMDBDataset:
             "key_pos": np.int32(p_t),
             "sizes": np.array([h, w], np.float32),
             "image_key": str(vid).replace("/", "_") + "-" + str(frame_id),
+            "key_idx": np.int32(index),
         }

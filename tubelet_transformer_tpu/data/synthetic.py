@@ -56,5 +56,6 @@ class SyntheticAVADataset:
             "valid": valid,
             "sizes": np.array([ch, cw], np.float32),
             "image_key": f"synth,{900 + index:04d}",
+            "key_idx": np.int32(index),
             "key_pos": t // 2,
         }

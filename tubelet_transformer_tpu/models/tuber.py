@@ -232,6 +232,7 @@ def build_model(cfg: Config) -> TubeR:
         last_stride=cfg.model.last_stride,
         single_frame=cfg.model.single_frame,
         temporal_ds_strategy=cfg.model.temporal_ds_strategy,
-        dataset_mode=cfg.data.dataset_name,
+        dataset_mode=("ava" if cfg.data.dataset_name not in ("jhmdb", "ucf")
+                      else cfg.data.dataset_name),
         dtype=dtype,
     )

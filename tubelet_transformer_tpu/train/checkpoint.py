@@ -1,0 +1,182 @@
+"""Checkpoint I/O: native (orbax) + the three foreign reference formats.
+
+Native checkpoints carry the FULL training state — params, batch_stats,
+optimizer state, step, epoch, config — fixing the reference's model-only
+resume (utils/model_utils.py:66-95 drops optimizer/scheduler state and takes
+START_EPOCH from config; SURVEY §5.4).
+
+Foreign formats (for reproducing published numbers):
+  * released TubeR ``.pth`` -> ``load_tuber_pth`` (DDP prefix strip +
+    name-mapped conversion, torch_convert.tuber_params_from_torch_state);
+  * Caffe2 CSN ``.mat`` -> ``load_backbone_mat``;
+  * COCO DETR ``detr.pth`` seed -> ``seed_from_detr`` (transformer +
+    bbox_embed + query_embed rows sliced to the query count,
+    model_utils.py:10-36).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.train import torch_convert as tc
+from tubelet_transformer_tpu.models.csn import BLOCK_NUMS
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoints
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(ckpt_dir: str, state, epoch: int,
+                    max_accuracy: float = 0.0, cfg: Optional[Config] = None,
+                    keep: int = 5) -> str:
+    """Write ``ckpt_epoch_{N}`` with the full train state (rank-0 only caller).
+
+    Layout mirrors the reference naming (model_utils.py:118-134).
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"ckpt_epoch_{epoch}"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+        "epoch": epoch,
+        "max_accuracy": float(max_accuracy),
+    }
+    ckptr.save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint(path: str, state):
+    """Restore a native checkpoint into an existing TrainState skeleton."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    target = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": 0, "epoch": 0, "max_accuracy": 0.0,
+    }
+    restored = ckptr.restore(os.path.abspath(path), item=target)
+    new_state = state.replace(
+        params=restored["params"], batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+        step=np.int32(restored["step"]))
+    return new_state, int(restored["epoch"]), float(restored["max_accuracy"])
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    cands = [d for d in os.listdir(ckpt_dir) if d.startswith("ckpt_epoch_")]
+    if not cands:
+        return None
+    cands.sort(key=lambda d: int(d.rsplit("_", 1)[1]))
+    return os.path.join(ckpt_dir, cands[-1])
+
+
+# ---------------------------------------------------------------------------
+# Foreign checkpoints
+# ---------------------------------------------------------------------------
+
+def _merge(dst: Dict, src: Dict, path="") -> int:
+    """Recursively copy matching leaves src -> dst; returns #leaves copied."""
+    n = 0
+    for k, v in src.items():
+        if k not in dst:
+            continue
+        if isinstance(v, dict) and isinstance(dst[k], dict):
+            n += _merge(dst[k], v, path + k + "/")
+        else:
+            arr = np.asarray(v)
+            if np.shape(dst[k]) != arr.shape:
+                raise ValueError(
+                    f"shape mismatch at {path}{k}: "
+                    f"{np.shape(dst[k])} vs {arr.shape}")
+            dst[k] = arr.astype(np.asarray(dst[k]).dtype)
+            n += 1
+    return n
+
+
+def load_tuber_pth(cfg: Config, variables: Dict[str, Any],
+                   path: Optional[str] = None) -> Dict[str, Any]:
+    """Load a released TubeR checkpoint into initialized variables."""
+    path = path or cfg.model.pretrained_path
+    sd = tc.load_torch_checkpoint(path)
+    params, batch_stats = tc.tuber_params_from_torch_state(
+        sd, block_nums=BLOCK_NUMS[cfg.model.backbone_name],
+        enc_layers=cfg.model.enc_layers, dec_layers=cfg.model.dec_layers,
+        dataset_mode=cfg.data.dataset_name,
+        temporal_ds_strategy=cfg.model.temporal_ds_strategy,
+        single_frame=cfg.model.single_frame)
+    new_vars = jax.tree.map(np.asarray, jax.device_get(dict(variables)))
+    n_p = _merge(new_vars["params"], params)
+    n_s = _merge(new_vars["batch_stats"], batch_stats)
+    print(f"loaded TubeR checkpoint {path}: {n_p} params, {n_s} stats")
+    return new_vars
+
+
+def load_backbone_mat(cfg: Config, variables: Dict[str, Any],
+                      path: Optional[str] = None) -> Dict[str, Any]:
+    """Load the Caffe2 CSN ``.mat`` backbone export into variables."""
+    path = path or cfg.model.pretrain_backbone_dir
+    params, stats = tc.csn_params_from_mat(
+        path, BLOCK_NUMS[cfg.model.backbone_name])
+    new_vars = jax.tree.map(np.asarray, jax.device_get(dict(variables)))
+    n_p = _merge(new_vars["params"]["backbone"], params)
+    n_s = _merge(new_vars["batch_stats"]["backbone"], stats)
+    print(f"loaded CSN .mat {path}: {n_p} params, {n_s} stats")
+    return new_vars
+
+
+def seed_from_detr(cfg: Config, variables: Dict[str, Any],
+                   path: Optional[str] = None) -> Dict[str, Any]:
+    """Seed transformer/bbox_embed/query_embed from COCO DETR ``detr.pth``.
+
+    Reference filter + query-row slice: model_utils.py:10-36.
+    """
+    path = path or cfg.model.pretrain_transformer_dir
+    sd = tc.load_torch_checkpoint(path)
+    new_vars = jax.tree.map(np.asarray, jax.device_get(dict(variables)))
+    p = new_vars["params"]
+
+    tr: Dict[str, Any] = {}
+    for i in range(cfg.model.enc_layers):
+        tr[f"encoder_layer_{i}"] = tc.encoder_layer_params(
+            sd, f"transformer.encoder.layers.{i}")
+    for i in range(cfg.model.dec_layers):
+        tr[f"decoder_layer_{i}"] = tc.decoder_layer_params(
+            sd, f"transformer.decoder.layers.{i}")
+    tr["decoder_norm"] = tc.ln_params(sd, "transformer.decoder.norm")
+    n = _merge(p["transformer"], tr)
+    n += _merge(p["bbox_embed"], tc.mlp_params(sd, "bbox_embed"))
+
+    q = np.asarray(sd["query_embed.weight"])
+    n_q = p["query_embed"].shape[0]
+    if q.shape[0] >= n_q:
+        p["query_embed"] = q[:n_q].astype(p["query_embed"].dtype)
+        n += 1
+    print(f"seeded from DETR {path}: {n} tensors")
+    return new_vars
+
+
+def load_pretrained(cfg: Config, variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Apply the reference's load order: backbone .mat (if PRETRAINED), then
+    DETR seed (deploy_model, model_utils.py:60-61), then full TubeR ckpt
+    (if LOAD)."""
+    if cfg.model.pretrained and cfg.model.pretrain_backbone_dir:
+        variables = load_backbone_mat(cfg, variables)
+    if cfg.model.load_detr and cfg.model.pretrain_transformer_dir:
+        variables = seed_from_detr(cfg, variables)
+    if cfg.model.load and cfg.model.pretrained_path:
+        variables = load_tuber_pth(cfg, variables)
+    return variables

@@ -52,8 +52,13 @@ def create_train_state(cfg: Config, model, rng, sample_batch,
     return state, tx, sched
 
 
+def is_ava_mode(cfg: Config) -> bool:
+    """Everything but the tubelet (JHMDB/UCF) datasets uses AVA semantics."""
+    return cfg.data.dataset_name not in ("jhmdb", "ucf")
+
+
 def _targets_from_batch(cfg: Config, batch: Dict[str, jnp.ndarray]):
-    if cfg.data.dataset_name == "ava":
+    if is_ava_mode(cfg):
         return crit.TargetsAVA(boxes=batch["boxes"], labels=batch["labels"],
                                valid=batch["valid"])
     return crit.TargetsUCF(boxes=batch["boxes"], labels=batch["labels"],
@@ -62,7 +67,7 @@ def _targets_from_batch(cfg: Config, batch: Dict[str, jnp.ndarray]):
 
 
 def compute_losses(cfg: Config, outputs, targets, evaluation: bool = False):
-    if cfg.data.dataset_name == "ava":
+    if is_ava_mode(cfg):
         return crit.criterion_ava(
             outputs, targets,
             cost_class=cfg.matcher.cost_class, cost_bbox=cfg.matcher.cost_bbox,
@@ -131,7 +136,7 @@ def make_train_step(cfg: Config, model, tx):
 
 def make_eval_step(cfg: Config, model):
     """Jitted eval step: forward + losses + on-device postprocess."""
-    postprocess = (postprocess_ava if cfg.data.dataset_name == "ava"
+    postprocess = (postprocess_ava if is_ava_mode(cfg)
                    else postprocess_softmax)
 
     def eval_step(state: TrainState, batch):
