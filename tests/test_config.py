@@ -1,0 +1,56 @@
+"""Config schema: loads all four reference experiment YAMLs verbatim."""
+
+import glob
+
+import pytest
+
+from tubelet_transformer_tpu.config import Config, load_config
+
+REF_YAMLS = sorted(glob.glob("/root/reference/configuration/*.yaml"))
+
+
+@pytest.mark.parametrize("path", REF_YAMLS, ids=[p.split("/")[-1]
+                                                 for p in REF_YAMLS])
+def test_loads_reference_yaml(path):
+    cfg = load_config(path)
+    assert cfg.model.d_model == 256
+    assert cfg.model.nhead == 8
+    assert cfg.model.enc_layers == 6
+
+
+def test_ava22_values():
+    cfg = load_config("/root/reference/configuration/TubeR_CSN152_AVA22.yaml")
+    assert cfg.data.dataset_name == "ava"
+    assert cfg.data.num_classes == 80
+    assert cfg.data.img_size == 256
+    assert cfg.data.img_reshape_size == 288
+    assert cfg.model.backbone_name == "CSN-152"
+    assert cfg.model.temporal_ds_strategy == "decode"
+    assert cfg.model.query_num == 15
+    assert cfg.model.single_frame is True
+    assert cfg.model.last_stride is False
+    assert cfg.matcher.cost_class == 12
+    assert cfg.matcher.cost_bbox == 5
+    assert cfg.loss.eos_cof == 0.1
+    assert cfg.loss.weight == 10
+    assert cfg.loss.clips_max_norm == 0.1
+    assert cfg.train.lr == 1e-4
+    assert cfg.train.lr_backbone == 1e-5
+    assert cfg.num_queries_total == 15
+    assert cfg.temporal_feat_len == 1
+
+
+def test_jhmdb_values():
+    cfg = load_config("/root/reference/configuration/Tuber_CSN152_JHMDB.yaml")
+    assert cfg.data.dataset_name == "jhmdb"
+    assert cfg.data.num_classes == 21
+    assert cfg.data.img_size == 224
+    assert cfg.model.query_num == 10
+    assert cfg.num_queries_total == 10 * 32
+
+
+def test_unknown_key_rejected(tmp_path):
+    p = tmp_path / "bad.yaml"
+    p.write_text("CONFIG:\n  MODEL:\n    TYPO_KEY: 1\n")
+    with pytest.raises(KeyError):
+        load_config(str(p))
