@@ -61,6 +61,11 @@ class DataConfig:
     # this many entries with a validity mask (the reference carries ragged
     # per-sample lists; XLA needs fixed shapes).
     max_boxes: int = 32
+    # Use the native (libjpeg, C++) decode+resize path when the shared
+    # library is available; PIL otherwise. Native is ~3x faster with
+    # bilinear resampling (PIL defaults to bicubic — negligible for
+    # training, set False for bit-level eval parity runs).
+    native_decode: bool = True
 
 
 @dataclass

@@ -64,8 +64,6 @@ class AVADataset:
         return len(self.keys)
 
     def _load_frames(self, vid: str, start: int, nh: int, nw: int):
-        from PIL import Image
-
         frame_list = sorted(glob(_frame_dir(self.cfg.data.data_path, vid)
                                  + "/*.jpg"))
         if not frame_list:
@@ -74,10 +72,25 @@ class AVADataset:
         idxs = np.clip(
             np.arange(start, start + self.clip_len * self.frame_rate,
                       self.frame_rate), 0, len(frame_list) - 1)
+
+        use_native = False
+        if self.cfg.data.native_decode:
+            from tubelet_transformer_tpu.data import native
+
+            use_native = native.is_available()
         frames = []
-        for i in idxs:
-            img = Image.open(frame_list[int(i)]).convert("RGB")
-            frames.append(np.asarray(img.resize((nw, nh))))
+        if use_native:
+            from tubelet_transformer_tpu.data import native
+
+            for i in idxs:
+                with open(frame_list[int(i)], "rb") as f:
+                    frames.append(native.decode_jpeg(f.read(), nw, nh))
+        else:
+            from PIL import Image
+
+            for i in idxs:
+                img = Image.open(frame_list[int(i)]).convert("RGB")
+                frames.append(np.asarray(img.resize((nw, nh))))
         return np.stack(frames)
 
     def _annotation(self, frame_key: str, nh: int, nw: int):
