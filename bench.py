@@ -3,14 +3,24 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "clips/s", "vs_baseline": N}
 
-The reference publishes no throughput numbers (BASELINE.md: "published: {}").
-``vs_baseline`` is therefore reported against the repo's north-star target
-(BASELINE.json): >= 2x an A100 running CSN-152 TubeR inference. With no
-published A100 number either, we peg the A100 estimate at 300 clips/s
-(120 GFLOPs/view at ~23% bf16 MFU — typical for conv3d-heavy models), so
+Measurement notes (axon remote-TPU relay):
+  * ``block_until_ready`` does NOT wait for device execution through the
+    relay; only a host value fetch does, and each fetch carries a ~30 ms
+    round trip. We therefore run K forward iterations *inside one jitted
+    program* (inputs chained so nothing can be hoisted) and difference two K
+    values, which cancels both the RTT and the dispatch overhead.
+  * variables are jit arguments, never closure constants (closure-captured
+    params embed 75 MB of literals in the HLO and stall the compiler).
+
+The reference publishes no throughput numbers (BASELINE.md: "published:
+{}"). ``vs_baseline`` is reported against the repo's north-star target
+(BASELINE.json): >= 2x an A100 on CSN-152 TubeR inference. With no published
+A100 number either, we peg the A100 estimate at 300 clips/s (120 GFLOPs/view
+at ~23% bf16 MFU — typical for conv3d-heavy models), so
 vs_baseline = clips_per_sec / 600.0 and >= 1.0 means the target is met.
 """
 
+import functools
 import json
 import sys
 import time
@@ -20,6 +30,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from tubelet_transformer_tpu.models.tuber import build_model
     from __graft_entry__ import _flagship_cfg
@@ -37,44 +48,53 @@ def main():
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     init_clip = np.zeros((1, t_len, img, img, 3), np.float32)
-    variables = model.init({"params": rng}, init_clip, train=False)
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, init_clip, train=False))(rng)
 
-    @jax.jit
-    def forward(clips):
-        out = model.apply(variables, clips, train=False)
-        return out["pred_logits"], out["pred_boxes"], out["pred_logits_b"]
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def forward_loop(variables, clips, k):
+        def body(i, carry):
+            # chain the carry into the input so iterations can't be hoisted
+            out = model.apply(variables, clips + carry * 1e-12, train=False)
+            return jnp.sum(out["pred_logits"].astype(jnp.float32))
 
-    best = 0.0
-    best_bs = 1
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    def timed(bs, k, reps=3):
+        clips = jax.device_put(np.random.default_rng(0).normal(
+            0, 1, (bs, t_len, img, img, 3)).astype(np.float32))
+        float(forward_loop(variables, clips, k))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(forward_loop(variables, clips, k))  # fetch forces completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k_lo, k_hi = (2, 12) if on_tpu else (1, 3)
+    best_cps, best_bs = 0.0, 1
     for bs in ([1, 2, 4, 8] if on_tpu else [1]):
         try:
-            clips = jax.device_put(
-                np.random.default_rng(0).normal(
-                    0, 1, (bs, t_len, img, img, 3)).astype(np.float32))
-            # warmup (compile)
-            jax.block_until_ready(forward(clips))
-            n_iter = 10 if on_tpu else 3
-            t0 = time.perf_counter()
-            for _ in range(n_iter):
-                out = forward(clips)
-            jax.block_until_ready(out)
-            dt = time.perf_counter() - t0
-            cps = bs * n_iter / dt
-            print(f"# bs={bs}: {cps:.2f} clips/s ({dt / n_iter * 1e3:.1f} ms/it)",
+            t_lo = timed(bs, k_lo)
+            t_hi = timed(bs, k_hi)
+            per_iter = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+            cps = bs / per_iter
+            print(f"# bs={bs}: {cps:.2f} clips/s ({per_iter * 1e3:.2f} ms/clip-batch)",
                   file=sys.stderr)
-            if cps > best:
-                best, best_bs = cps, bs
-        except Exception as e:  # OOM at large batch: keep best so far
-            print(f"# bs={bs} failed: {type(e).__name__}", file=sys.stderr)
+            if cps > best_cps:
+                best_cps, best_bs = cps, bs
+        except Exception as e:
+            print(f"# bs={bs} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
             break
 
     metric = ("clips_per_sec_csn152_tuber_ava_infer_1chip" if on_tpu
               else "clips_per_sec_cpu_smoke")
     print(json.dumps({
         "metric": metric,
-        "value": round(best, 3),
+        "value": round(best_cps, 3),
         "unit": "clips/s",
-        "vs_baseline": round(best / 600.0, 4),
+        "vs_baseline": round(best_cps / 600.0, 4),
         "batch_size": best_bs,
     }))
 

@@ -16,7 +16,7 @@ def _smoke_cfg(tmp_path):
     cfg.data.img_size = 32
     cfg.data.temp_len = 8
     cfg.data.num_workers = 2
-    cfg.model.backbone_name = "CSN-50"
+    cfg.model.backbone_name = "CSN-TINY"
     cfg.model.query_num = 5
     cfg.model.temp_len = 8
     cfg.model.enc_layers = 1

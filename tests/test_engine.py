@@ -17,7 +17,7 @@ def _tiny_cfg():
     cfg.data.num_classes = 6
     cfg.data.max_boxes = 4
     cfg.data.img_size = 32
-    cfg.model.backbone_name = "CSN-50"
+    cfg.model.backbone_name = "CSN-TINY"
     cfg.model.query_num = 5
     cfg.model.temp_len = 8
     cfg.model.enc_layers = 2

@@ -31,6 +31,9 @@ BN_MOMENTUM = 0.9   # flax momentum = 1 - torch momentum (torch bn_mmt = 0.1)
 BLOCK_NUMS = {
     "CSN-152": (3, 8, 36, 3),
     "CSN-50": (3, 4, 6, 3),
+    # Minimal topology (one block per stage) for fast engine tests / dry
+    # runs; same stage/stride structure, not a reference variant.
+    "CSN-TINY": (1, 1, 1, 1),
 }
 
 

@@ -41,8 +41,13 @@ class TrainState(struct.PyTreeNode):
 
 def create_train_state(cfg: Config, model, rng, sample_batch,
                        steps_per_epoch: int):
-    variables = model.init({"params": rng}, sample_batch["clips"],
-                           sample_batch.get("pad_mask"), train=False)
+    # jit the init: eager flax init dispatches every op separately, which is
+    # pathologically slow over a remote-TPU tunnel (minutes for CSN-152).
+    clips = jnp.asarray(sample_batch["clips"])
+    pad_mask = sample_batch.get("pad_mask")
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, clips, pad_mask, train=False)
+    )(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx, sched = build_optimizer(cfg, params, steps_per_epoch)
