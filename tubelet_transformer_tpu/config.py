@@ -97,6 +97,8 @@ class ModelConfig:
     tune_point: int = 4              # CSN stages frozen up to this point
     # TPU-specific: computation dtype of the hot path (params stay fp32).
     compute_dtype: str = "bfloat16"  # 'bfloat16' | 'float32'
+    # Custom Pallas kernels on TPU (depthwise conv3d); XLA fallback elsewhere.
+    pallas_kernels: bool = True
 
 
 @dataclass

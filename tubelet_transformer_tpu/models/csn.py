@@ -25,6 +25,8 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from tubelet_transformer_tpu.ops.pallas.depthwise import depthwise_conv3x3x3
+
 BN_EPS = 1e-3       # reference ir_CSN_152.py:15
 BN_MOMENTUM = 0.9   # flax momentum = 1 - torch momentum (torch bn_mmt = 0.1)
 
@@ -35,6 +37,27 @@ BLOCK_NUMS = {
     # runs; same stage/stride structure, not a reference variant.
     "CSN-TINY": (1, 1, 1, 1),
 }
+
+
+class DepthwiseConv3d(nn.Module):
+    """Depthwise 3x3x3 conv using the Pallas lane-flattened kernel on TPU
+    (stride-1 path); parameter layout identical to nn.Conv with
+    feature_group_count=C, so checkpoints are interchangeable."""
+
+    features: int
+    strides: tuple = (1, 1, 1)
+    use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 3, 1, self.features), jnp.float32)
+        w = kernel.reshape(3, 3, 3, self.features).astype(self.dtype)
+        return depthwise_conv3x3x3(x.astype(self.dtype), w,
+                                   stride=tuple(self.strides),
+                                   use_pallas=self.use_pallas)
 
 
 class CSNBottleneck(nn.Module):
@@ -50,6 +73,7 @@ class CSNBottleneck(nn.Module):
     temporal_stride: int = 1
     has_downsample: bool = False
     expansion: int = 4
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -66,9 +90,9 @@ class CSNBottleneck(nn.Module):
         out = nn.relu(bn("bn1")(out))
 
         st = (self.temporal_stride, self.stride, self.stride)
-        out = nn.Conv(self.planes, (3, 3, 3), strides=st, padding=[(1, 1)] * 3,
-                      feature_group_count=self.planes, use_bias=False,
-                      dtype=self.dtype, param_dtype=jnp.float32, name="conv3")(out)
+        out = DepthwiseConv3d(self.planes, strides=st,
+                              use_pallas=self.use_pallas, dtype=self.dtype,
+                              name="conv3")(out)
         out = nn.relu(bn("bn3")(out))
 
         out = nn.Conv(self.planes * self.expansion, (1, 1, 1), use_bias=False,
@@ -93,6 +117,7 @@ class CSN(nn.Module):
 
     block_nums: Sequence[int] = (3, 8, 36, 3)
     last_stride: bool = True
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -125,6 +150,7 @@ class CSN(nn.Module):
                     temporal_stride=tstride if b == 0 else 1,
                     has_downsample=(b == 0),
                     expansion=4,
+                    use_pallas=self.use_pallas,
                     dtype=self.dtype,
                     name=f"layer{s + 1}_{b}",
                 )(x, train=train)
@@ -132,9 +158,10 @@ class CSN(nn.Module):
         return x
 
 
-def build_csn(backbone_name: str, last_stride: bool, dtype=jnp.float32) -> CSN:
+def build_csn(backbone_name: str, last_stride: bool, dtype=jnp.float32,
+              use_pallas: bool = True) -> CSN:
     if backbone_name not in BLOCK_NUMS:
         raise ValueError(f"unknown backbone {backbone_name!r}; "
                          f"supported: {sorted(BLOCK_NUMS)}")
     return CSN(block_nums=BLOCK_NUMS[backbone_name], last_stride=last_stride,
-               dtype=dtype)
+               use_pallas=use_pallas, dtype=dtype)

@@ -71,11 +71,13 @@ class TubeR(nn.Module):
     single_frame: bool = True
     temporal_ds_strategy: str = "decode"
     dataset_mode: str = "ava"
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.backbone = build_csn(self.backbone_name, self.last_stride,
-                                  dtype=self.dtype)
+                                  dtype=self.dtype,
+                                  use_pallas=self.use_pallas)
         self.transformer = Transformer(
             d_model=self.hidden_dim, nhead=self.nhead,
             num_encoder_layers=self.enc_layers,
@@ -234,5 +236,6 @@ def build_model(cfg: Config) -> TubeR:
         temporal_ds_strategy=cfg.model.temporal_ds_strategy,
         dataset_mode=("ava" if cfg.data.dataset_name not in ("jhmdb", "ucf")
                       else cfg.data.dataset_name),
+        use_pallas=cfg.model.pallas_kernels,
         dtype=dtype,
     )
