@@ -27,7 +27,14 @@ class JHMDBDataset:
     def __init__(self, cfg: Config, split: str):
         self.cfg = cfg
         self.split = split
-        cache_file = os.path.join(cfg.data.anno_path, "JHMDB-GT.pkl")
+        # JHMDB-GT.pkl / UCF101v24-GT.pkl share the ACT-detector schema;
+        # anno_path may point at the directory or the .pkl itself.
+        if cfg.data.anno_path.endswith(".pkl"):
+            cache_file = cfg.data.anno_path
+        else:
+            name = ("UCF101v2-GT.pkl" if cfg.data.dataset_name == "ucf"
+                    else "JHMDB-GT.pkl")
+            cache_file = os.path.join(cfg.data.anno_path, name)
         with open(cache_file, "rb") as f:
             self.dataset = pickle.load(f, encoding="iso-8859-1")
         vids = (self.dataset["train_videos"][0] if split == "train"

@@ -46,6 +46,7 @@ def nearest_resize_mask(mask: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarra
     Matches ``F.interpolate(mode='nearest')`` on a float mask
     (backbone_builder.py:85): out[i] = in[floor(i * H / out_h)].
     """
+    mask = jnp.asarray(mask)
     h, w = mask.shape[-2:]
     rows = jnp.floor(jnp.arange(out_h) * (h / out_h)).astype(jnp.int32)
     cols = jnp.floor(jnp.arange(out_w) * (w / out_w)).astype(jnp.int32)
