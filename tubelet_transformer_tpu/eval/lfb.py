@@ -1,0 +1,111 @@
+"""Long-term feature bank (LFB) storage and window gathering.
+
+The reference advertises "+long-term context" checkpoints (+~2 mAP,
+README.md:16-26) and plumbs ``lfb_features`` through collate and forward
+(utils/misc.py:284-308, video_action_recognition.py:109-139) but never ships
+the bank itself. This module provides it:
+
+  * ``generate``: run the model in ``generate_lfb`` mode over a dataset and
+    store, per keyframe, the final-layer query features of confident actors
+    (P(actor) over a threshold, padded to a fixed per-frame slot count);
+  * ``window``: for a (video, second) key, gather the stored features from
+    the surrounding +-window seconds into a fixed-shape (L_mem, D) memory
+    with a validity mask — static shapes for XLA.
+
+Bank files are plain .npz keyed by "vid,ssss" AVA keys.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+class FeatureBank:
+    def __init__(self, feat_dim: int, slots_per_frame: int = 5):
+        self.feat_dim = feat_dim
+        self.slots = slots_per_frame
+        self._bank: Dict[str, np.ndarray] = {}    # key -> (slots, D)
+        self._valid: Dict[str, np.ndarray] = {}   # key -> (slots,) bool
+
+    def __len__(self) -> int:
+        return len(self._bank)
+
+    def add(self, key: str, features: np.ndarray,
+            actor_prob: np.ndarray, threshold: float = 0.8) -> None:
+        """features (Q, D); actor_prob (Q,). Keeps top slots by probability,
+        validity-gated at the threshold."""
+        order = np.argsort(-actor_prob)[: self.slots]
+        feats = np.zeros((self.slots, self.feat_dim), np.float32)
+        valid = np.zeros((self.slots,), bool)
+        n = len(order)
+        feats[:n] = features[order]
+        valid[:n] = actor_prob[order] > threshold
+        self._bank[key] = feats
+        self._valid[key] = valid
+
+    def window(self, vid: str, second: int, half_window: int = 10
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Gather features of ``vid`` seconds [s-hw, s+hw] (excluding s)
+        -> ((2*hw) * slots, D) memory + True-means-PAD mask (fixed shape)."""
+        secs = [s for s in range(second - half_window, second + half_window + 1)
+                if s != second]
+        mem = np.zeros((len(secs) * self.slots, self.feat_dim), np.float32)
+        pad = np.ones((len(secs) * self.slots,), bool)
+        for i, s in enumerate(secs):
+            key = f"{vid},{s:04d}"
+            if key in self._bank:
+                sl = slice(i * self.slots, (i + 1) * self.slots)
+                mem[sl] = self._bank[key]
+                pad[sl] = ~self._valid[key]
+        return mem, pad
+
+    def save(self, path: str) -> None:
+        keys = list(self._bank)
+        np.savez_compressed(
+            path, keys=np.array(keys),
+            feats=np.stack([self._bank[k] for k in keys]) if keys
+            else np.zeros((0, self.slots, self.feat_dim), np.float32),
+            valid=np.stack([self._valid[k] for k in keys]) if keys
+            else np.zeros((0, self.slots), bool))
+
+    @classmethod
+    def load(cls, path: str) -> "FeatureBank":
+        data = np.load(path, allow_pickle=False)
+        feats = data["feats"]
+        bank = cls(feat_dim=feats.shape[-1] if feats.size else 256,
+                   slots_per_frame=feats.shape[1] if feats.size else 5)
+        for i, k in enumerate(data["keys"]):
+            bank._bank[str(k)] = feats[i]
+            bank._valid[str(k)] = data["valid"][i]
+        return bank
+
+
+def generate_bank(cfg, model, variables, loader, mesh,
+                  threshold: float = 0.8) -> FeatureBank:
+    """Run the generate_lfb forward over a loader and fill a bank."""
+    import jax
+    import jax.numpy as jnp
+
+    from tubelet_transformer_tpu.parallel import mesh as mesh_lib
+
+    @jax.jit
+    def gen_step(variables, clips, pad_mask):
+        out = model.apply(variables, clips, pad_mask, train=False)
+        prob = jax.nn.softmax(out["pred_logits_b"], axis=-1)[..., 1]
+        return out["lfb_features"], prob
+
+    bank = FeatureBank(feat_dim=cfg.model.d_model,
+                       slots_per_frame=min(cfg.model.query_num, 5))
+    dataset = loader.dataset
+    for batch in loader:
+        feats, prob = jax.device_get(gen_step(
+            variables, jnp.asarray(batch["clips"]),
+            jnp.asarray(batch["pad_mask"])))
+        for i in range(feats.shape[0]):
+            idx = int(batch["key_idx"][i])
+            key = dataset.keys[idx] if hasattr(dataset, "keys") else str(idx)
+            bank.add(key, feats[i], prob[i], threshold)
+    return bank

@@ -73,6 +73,8 @@ class TubeR(nn.Module):
     temporal_ds_strategy: str = "decode"
     dataset_mode: str = "ava"
     use_pallas: bool = True
+    use_lfb: bool = False
+    generate_lfb: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -127,6 +129,19 @@ class TubeR(nn.Module):
             self.pool_norm = nn.LayerNorm(dtype=self.dtype,
                                           param_dtype=jnp.float32)
 
+        if self.use_lfb:
+            # Long-term context: decoder states cross-attend over a bank of
+            # actor features from surrounding clips (the reference plumbs
+            # lfb_features into forward — video_action_recognition.py:109-139
+            # — but never shipped the module; this is our implementation of
+            # the advertised "+long-term context" capability, README.md:16-26).
+            self.lfb_proj = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                                     param_dtype=jnp.float32)
+            self.lfb_attn = MultiHeadAttention(self.hidden_dim, 8,
+                                               self.dropout, dtype=self.dtype)
+            self.lfb_norm = nn.LayerNorm(dtype=self.dtype,
+                                         param_dtype=jnp.float32)
+
     def _temporal_pool(self, xs: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         """(B, T', H', W', C) -> (B, t, H', W', C); t=1 when single_frame.
 
@@ -156,6 +171,8 @@ class TubeR(nn.Module):
         clips: jnp.ndarray,                 # (B, T, H, W, 3) normalized RGB
         pad_mask: Optional[jnp.ndarray] = None,  # (B, H, W) True = padded
         train: bool = False,
+        lfb_features: Optional[jnp.ndarray] = None,  # (B, L_mem, E)
+        lfb_mask: Optional[jnp.ndarray] = None,      # (B, L_mem) True = pad
     ):
         b, t_in, h_in, w_in, _ = clips.shape
         deterministic = not train
@@ -200,10 +217,41 @@ class TubeR(nn.Module):
         q_class = self.cross_attn(hs_q, enc_rep, enc_rep,
                                   deterministic=deterministic)
         q_class = q_class.reshape(lay_n, b, nb, self.hidden_dim)
+
+        if self.use_lfb and lfb_features is not None:
+            # Fuse long-term memory: residual cross-attention from the
+            # (layer-folded) query states over the projected bank tokens.
+            mem = self.lfb_proj(lfb_features.astype(self.dtype))  # (B,L_mem,E)
+            l_mem = mem.shape[1]
+            mem_rep = jnp.broadcast_to(
+                mem[None], (lay_n,) + mem.shape).reshape(
+                    lay_n * b, l_mem, self.hidden_dim)
+            if lfb_mask is None:
+                lfb_mask = jnp.zeros((b, l_mem), bool)
+            mask_rep = jnp.broadcast_to(
+                lfb_mask[None], (lay_n, b, l_mem)).reshape(lay_n * b, l_mem)
+            qc = q_class.reshape(lay_n * b, nb, self.hidden_dim)
+            ltc = self.lfb_attn(qc, mem_rep, mem_rep,
+                                key_padding_mask=mask_rep,
+                                deterministic=deterministic)
+            # fully-padded banks contribute nothing (mask-safe residual)
+            any_valid = jnp.any(~mask_rep, axis=-1)[:, None, None]
+            qc = self.lfb_norm(qc + jnp.where(any_valid, ltc, 0.0))
+            q_class = qc.reshape(lay_n, b, nb, self.hidden_dim)
+
         q_class = self.head_dropout(q_class, deterministic=deterministic)
 
         outputs_class = self.class_fc(q_class)                   # (L,B,Q,cls)
         outputs_coord = nn.sigmoid(self.bbox_embed(hs).astype(jnp.float32))
+
+        if self.generate_lfb:
+            # Actor features for the bank: final-layer query states after the
+            # context cross-attention, with their actor probabilities.
+            return {
+                "lfb_features": q_class[-1].astype(jnp.float32),  # (B,Q,E)
+                "pred_logits_b": outputs_class_b[-1].astype(jnp.float32),
+                "pred_boxes": outputs_coord[-1],
+            }
 
         return {
             "pred_logits": outputs_class[-1].astype(jnp.float32),
@@ -238,5 +286,7 @@ def build_model(cfg: Config) -> TubeR:
         dataset_mode=("ava" if cfg.data.dataset_name not in ("jhmdb", "ucf")
                       else cfg.data.dataset_name),
         use_pallas=cfg.model.pallas_kernels,
+        use_lfb=cfg.use_lfb,
+        generate_lfb=cfg.model.generate_lfb,
         dtype=dtype,
     )
