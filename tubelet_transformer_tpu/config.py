@@ -98,7 +98,11 @@ class ModelConfig:
     # TPU-specific: computation dtype of the hot path (params stay fp32).
     compute_dtype: str = "bfloat16"  # 'bfloat16' | 'float32'
     # Custom Pallas kernels on TPU (depthwise conv3d); XLA fallback elsewhere.
-    pallas_kernels: bool = True
+    # Default off: the v1 kernel matches XLA standalone but loses in-model
+    # (XLA-side pad/reshape + broken fusion around pallas_call — measured
+    # 145 -> 91 clips/s). Re-enable when the T-blocked fused version lands
+    # (ROADMAP round-2 item 1).
+    pallas_kernels: bool = False
 
 
 @dataclass

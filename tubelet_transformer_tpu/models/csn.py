@@ -46,7 +46,7 @@ class DepthwiseConv3d(nn.Module):
 
     features: int
     strides: tuple = (1, 1, 1)
-    use_pallas: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -73,7 +73,7 @@ class CSNBottleneck(nn.Module):
     temporal_stride: int = 1
     has_downsample: bool = False
     expansion: int = 4
-    use_pallas: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -117,7 +117,7 @@ class CSN(nn.Module):
 
     block_nums: Sequence[int] = (3, 8, 36, 3)
     last_stride: bool = True
-    use_pallas: bool = True
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -159,7 +159,7 @@ class CSN(nn.Module):
 
 
 def build_csn(backbone_name: str, last_stride: bool, dtype=jnp.float32,
-              use_pallas: bool = True) -> CSN:
+              use_pallas: bool = False) -> CSN:
     if backbone_name not in BLOCK_NUMS:
         raise ValueError(f"unknown backbone {backbone_name!r}; "
                          f"supported: {sorted(BLOCK_NUMS)}")

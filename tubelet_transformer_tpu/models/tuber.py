@@ -72,7 +72,7 @@ class TubeR(nn.Module):
     single_frame: bool = True
     temporal_ds_strategy: str = "decode"
     dataset_mode: str = "ava"
-    use_pallas: bool = True
+    use_pallas: bool = False
     use_lfb: bool = False
     generate_lfb: bool = False
     dtype: jnp.dtype = jnp.float32
