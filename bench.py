@@ -30,6 +30,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: repeat bench runs skip the (minutes-long)
+    # remote compile of the CSN-152 graph
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from tubelet_transformer_tpu.models.tuber import build_model
@@ -73,7 +79,10 @@ def main():
 
     k_lo, k_hi = (2, 12) if on_tpu else (1, 3)
     best_cps, best_bs = 0.0, 1
-    for bs in ([1, 2, 4, 8] if on_tpu else [1]):
+    # bs=4 is the measured throughput knee on v5e (145 vs 124@8, 90@1);
+    # a single batch size keeps the bench to two compiles (~4 min cold,
+    # seconds warm via the persistent cache).
+    for bs in ([4] if on_tpu else [1]):
         try:
             t_lo = timed(bs, k_lo)
             t_hi = timed(bs, k_hi)
