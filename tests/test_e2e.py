@@ -26,10 +26,10 @@ def _smoke_cfg(tmp_path):
     cfg.model.dim_feedforward = 64
     cfg.model.compute_dtype = "float32"
     cfg.model.temporal_ds_strategy = "avg"
-    cfg.train.batch_size = 8
+    cfg.train.batch_size = 1
     cfg.train.epoch_num = 1
     cfg.train.lr = 1e-4
-    cfg.val.batch_size = 8
+    cfg.val.batch_size = 1
     cfg.val.freq = 1
     cfg.log.base_path = str(tmp_path)
     cfg.log.display_freq = 2
@@ -50,3 +50,44 @@ def test_training_smoke(tmp_path):
     tags = {json.loads(l)["tag"] for l in open(logs[0])}
     assert "train/total_loss" in tags
     assert "val/val_mAP_epoch" in tags
+
+
+def test_training_smoke_jhmdb(tmp_path):
+    """UCF/JHMDB path end-to-end: tubelet queries (Q*T), key-frame gather in
+    the criterion, softmax postprocess, UCF evaluator."""
+    import numpy as np
+    from PIL import Image
+    import pickle
+
+    # tiny on-disk JHMDB fixture
+    rng = np.random.default_rng(0)
+    vids = ["c/v0", "c/v1"]
+    gttubes = {}
+    for v in vids:
+        tube = np.stack([np.arange(10, dtype=np.float32),
+                         np.full(10, 4.0), np.full(10, 4.0),
+                         np.full(10, 28.0), np.full(10, 28.0)], 1)
+        gttubes[v] = {1: [tube]}
+        d = tmp_path / "frames" / v
+        d.mkdir(parents=True)
+        for i in range(10):
+            arr = rng.integers(0, 255, (32, 40, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i + 1:05d}.png")
+    with open(tmp_path / "JHMDB-GT.pkl", "wb") as f:
+        pickle.dump({"train_videos": [vids], "test_videos": [vids],
+                     "nframes": {v: 10 for v in vids},
+                     "resolution": {v: (32, 40) for v in vids},
+                     "gttubes": gttubes,
+                     "labels": [f"a{i}" for i in range(5)]}, f)
+
+    cfg = _smoke_cfg(tmp_path)
+    cfg.data.dataset_name = "jhmdb"
+    cfg.data.num_classes = 5
+    cfg.data.anno_path = str(tmp_path)
+    cfg.data.data_path = str(tmp_path / "frames")
+    cfg.data.temp_len = 4
+    cfg.model.temp_len = 4
+    cfg.model.query_num = 3
+    cfg.train.batch_size = 1
+    cfg.val.batch_size = 1
+    runner.run_training(cfg)

@@ -43,13 +43,17 @@ def build_dataset(cfg: Config, split: str):
 
 def make_loaders(cfg: Config):
     rank, world = jax.process_index(), jax.process_count()
+    # BATCH_SIZE is per-chip, like the reference's per-GPU batch under
+    # mp.spawn DDP: the host loader feeds batch_size * local chips, so the
+    # global batch is always divisible by the 'data' mesh axis.
+    n_local = jax.local_device_count()
     train_ds = build_dataset(cfg, "train")
     val_ds = build_dataset(cfg, "val")
-    train_loader = DataLoader(train_ds, cfg.train.batch_size, shuffle=True,
-                              seed=cfg.train.seed, rank=rank, world=world,
-                              num_workers=cfg.data.num_workers)
-    val_loader = DataLoader(val_ds, cfg.val.batch_size, shuffle=False,
-                            rank=rank, world=world,
+    train_loader = DataLoader(train_ds, cfg.train.batch_size * n_local,
+                              shuffle=True, seed=cfg.train.seed, rank=rank,
+                              world=world, num_workers=cfg.data.num_workers)
+    val_loader = DataLoader(val_ds, cfg.val.batch_size * n_local,
+                            shuffle=False, rank=rank, world=world,
                             num_workers=cfg.data.num_workers,
                             drop_last=True)
     return train_loader, val_loader
