@@ -103,10 +103,14 @@ def run_training(cfg: Config) -> None:
 
     start_epoch = cfg.train.start_epoch
     if cfg.model.load and not cfg.model.pretrained_path:
-        latest = ckpt_lib.latest_checkpoint(dirs["ckpt"]) if dirs else None
+        # Resume from the newest checkpoint of any previous run under
+        # BASE_PATH (each run writes into a fresh timestamped exp dir).
+        latest = ckpt_lib.latest_checkpoint_any_run(cfg.log.base_path,
+                                                    cfg.log.save_dir)
         if latest:
             state, start_epoch, _ = ckpt_lib.load_checkpoint(latest, state)
             start_epoch += 1
+            print(f"resumed from {latest} at epoch {start_epoch}")
 
     train_step = engine.make_train_step(cfg, model, tx)
     eval_step = engine.make_eval_step(cfg, model)
@@ -142,6 +146,29 @@ def run_eval(cfg: Config) -> dict:
                      writer=None)
 
 
+def run_generate_lfb(cfg: Config, out_path: str = "lfb_bank.npz") -> str:
+    """Run the model in generate_lfb mode over the val split and save the
+    long-term feature bank (reference GENERATE_LFB hook, never shipped)."""
+    import jax as _jax
+
+    mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
+    cfg.model.generate_lfb = True
+    _, val_loader = make_loaders(cfg)
+    model = build_model(cfg)
+    sample_batch = _sample_batch_from(val_loader)
+    state, _ = init_state(cfg, model, steps_per_epoch=1,
+                          sample_batch=sample_batch)
+    from tubelet_transformer_tpu.eval.lfb import generate_bank
+
+    bank = generate_bank(
+        cfg, model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        val_loader, mesh)
+    bank.save(out_path)
+    print(f"saved feature bank ({len(bank)} keyframes) to {out_path}")
+    return out_path
+
+
 def main(mode: str, default_dataset: str) -> None:
     import argparse
 
@@ -157,6 +184,8 @@ def main(mode: str, default_dataset: str) -> None:
         cfg.data.dataset_name = default_dataset
     if mode == "train":
         run_training(cfg)
+    elif mode == "generate-lfb":
+        run_generate_lfb(cfg)
     else:
         cfg.eval_only = True
         run_eval(cfg)

@@ -84,6 +84,19 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, cands[-1])
 
 
+def latest_checkpoint_any_run(base_path: str, save_dir: str = "checkpoints"
+                              ) -> Optional[str]:
+    """Newest ckpt across all timestamped experiment dirs under base_path
+    (each run gets a fresh exp dir, so resume must search siblings)."""
+    import glob
+
+    cands = glob.glob(os.path.join(base_path, "*", save_dir, "ckpt_epoch_*"))
+    if not cands:
+        return None
+    cands.sort(key=lambda p: (int(p.rsplit("_", 1)[1]), os.path.getmtime(p)))
+    return cands[-1]
+
+
 # ---------------------------------------------------------------------------
 # Foreign checkpoints
 # ---------------------------------------------------------------------------
