@@ -88,7 +88,17 @@ def _validate(cfg, eval_step, state, val_loader, mesh, epoch, writer):
                                  epoch, writer)
 
 
+def _check_supported(cfg: Config) -> None:
+    if cfg.two_stream:
+        # The reference plumbs TWO_STREAM through collate/forward but ships
+        # no second-stream model (SURVEY §2.3/§2.6); explicit here.
+        raise NotImplementedError(
+            "TWO_STREAM is not implemented (the reference ships no "
+            "two-stream model either); set CONFIG.TWO_STREAM: false")
+
+
 def run_training(cfg: Config) -> None:
+    _check_supported(cfg)
     mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
     is_main = mesh_lib.is_main_process()
     dirs = build_log_dir(cfg) if is_main else None
@@ -133,6 +143,7 @@ def run_training(cfg: Config) -> None:
 
 
 def run_eval(cfg: Config) -> dict:
+    _check_supported(cfg)
     mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
     _, val_loader = make_loaders(cfg)
     model = build_model(cfg)
