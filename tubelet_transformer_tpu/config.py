@@ -50,6 +50,10 @@ class DataConfig:
     dataset_name: str = "ava"        # 'ava' | 'jhmdb' | 'ucf'
     label_path: str = ""
     anno_path: str = ""
+    # AVA 2.1 excluded-timestamps CSV ("vid,ssss" rows); keys are dropped
+    # from GT and detections (the reference hardcodes this path,
+    # evaluates/evaluate_ava.py:36). Empty = no exclusions.
+    exclude_path: str = ""
     data_path: str = ""
     num_classes: int = 80
     img_size: int = 256

@@ -178,3 +178,15 @@ def dump_detections_txt(path: str, rows) -> None:
         for key, values in rows:
             f.write("{} [{}]\n".format(
                 key, ", ".join(str(float(v)) for v in values)))
+
+
+def load_excluded_keys(path: str):
+    """AVA excluded-timestamps CSV ("vid,ssss" per row) -> set of image keys
+    in the dump format ("vid_ssss") — reference evaluate_ava.py:36-41."""
+    keys = set()
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                keys.add(line.replace(",", "_"))
+    return keys

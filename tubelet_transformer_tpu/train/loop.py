@@ -24,6 +24,7 @@ from tubelet_transformer_tpu.eval.ava_eval import (
     AVADetectionEvaluator,
     PersonDetectionEvaluator,
     dump_detections_txt,
+    load_excluded_keys,
 )
 from tubelet_transformer_tpu.parallel import mesh as mesh_lib
 from tubelet_transformer_tpu.utils import AverageMeter, MetricsWriter
@@ -98,6 +99,8 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
     """
     dataset = loader.dataset
     is_main = mesh_lib.is_main_process()
+    if not exclude_keys and cfg.data.exclude_path:
+        exclude_keys = load_excluded_keys(cfg.data.exclude_path)
     evaluator = AVADetectionEvaluator(
         label_path=label_path or (cfg.data.label_path or None),
         class_num=cfg.data.num_classes, exclude_keys=exclude_keys)
@@ -172,15 +175,19 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
 
 def validate_ucf(cfg: Config, eval_step, state, loader, mesh, epoch: int,
                  writer: Optional[MetricsWriter] = None,
-                 iou_thresholds=(0.5,)) -> Dict[str, float]:
+                 iou_thresholds=(0.5,),
+                 video_map_thresholds=(0.2, 0.5)) -> Dict[str, float]:
     """JHMDB/UCF validation -> frame mAP over tubelet key-frame queries
-    (reference validate_tuber_ucf_detection:456-689).
+    (reference validate_tuber_ucf_detection:456-689) + video-mAP via tube
+    linking (eval/video_map.py; the reference publishes video-mAP numbers,
+    README.md:31, but ships no linking code).
 
     Per-sample, the Q queries at ``key_pos`` are sliced from the Q*T tubelet
     layout (video_action_recognition.py:553-557) before scoring; the UCF
     evaluator applies the argmax/no-object and tiny-GT exclusion rules.
     """
     from tubelet_transformer_tpu.eval.ucf_eval import UCFDetectionEvaluator
+    from tubelet_transformer_tpu.eval.video_map import VideoMAPEvaluator
 
     dataset = loader.dataset
     is_main = mesh_lib.is_main_process()
@@ -188,6 +195,10 @@ def validate_ucf(cfg: Config, eval_step, state, loader, mesh, epoch: int,
                                       iou_thresholds=iou_thresholds)
     q = cfg.model.query_num
     n_cls = cfg.data.num_classes
+    do_video = bool(video_map_thresholds) and hasattr(dataset, "dataset") \
+        and "gttubes" in getattr(dataset, "dataset", {})
+    video_eval = (VideoMAPEvaluator(n_cls, video_map_thresholds)
+                  if do_video else None)
 
     for batch in loader:
         db = device_batch(batch, mesh)
@@ -217,6 +228,17 @@ def validate_ucf(cfg: Config, eval_step, state, loader, mesh, epoch: int,
             det_scores = gathered["scores"][i][sl]      # (Q, C+1) softmax
             evaluator.add_detections(image_key, det_boxes, det_scores)
 
+            if video_eval is not None and hasattr(dataset, "samples"):
+                # per-frame argmax-class detections for tube linking (same
+                # no-object rule as the frame evaluator)
+                keep = np.argmax(det_scores, axis=1) != det_scores.shape[1] - 1
+                if keep.any():
+                    fg = det_scores[keep][:, :n_cls]
+                    cls = np.argmax(fg, axis=1)
+                    video_eval.add_frame_detections(
+                        str(vid), int(fid), det_boxes[keep], cls,
+                        fg[np.arange(len(cls)), cls])
+
             h, w = gathered["sizes"][i]
             scale = np.array([w, h, w, h], np.float64)
             gv = gathered["gt_valid"][i]
@@ -241,4 +263,30 @@ def validate_ucf(cfg: Config, eval_step, state, loader, mesh, epoch: int,
                        zip(iou_thresholds, maps)))
         if writer:
             writer.add_scalar("val/val_mAP_epoch", maps[0], epoch)
+
+        if video_eval is not None:
+            # GT tubes from the pkl, scaled to the eval (resized) frame
+            vids = {v for v, _ in dataset.samples}
+            for v in vids:
+                oh, ow = dataset.dataset["resolution"][v]
+                if oh <= ow:
+                    nh = dataset.resize_size
+                    nw = int(dataset.resize_size * (ow / oh))
+                else:
+                    nw = dataset.resize_size
+                    nh = int(dataset.resize_size * (oh / ow))
+                sc = np.array([nw / ow, nh / oh, nw / ow, nh / oh])
+                for ilabel, tubes in dataset.dataset["gttubes"][v].items():
+                    for tube in tubes:
+                        video_eval.add_gt_tube(
+                            str(v), int(ilabel), tube[:, 0].astype(int),
+                            tube[:, 1:5] * sc)
+            vmaps = video_eval.evaluate()
+            for t, m in vmaps.items():
+                result[f"video_mAP@{t}"] = m
+            print("video-mAP: " + " ".join(
+                f"@{t}={m:.4f}" for t, m in vmaps.items()))
+            if writer:
+                for t, m in vmaps.items():
+                    writer.add_scalar(f"val/video_mAP@{t}", m, epoch)
     return result
