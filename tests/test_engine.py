@@ -107,3 +107,29 @@ def test_frozen_backbone_stays_frozen(rng):
         lambda a, b: float(np.abs(np.asarray(a) - b).max()),
         state.params["backbone"], bb_before)
     assert max(jax.tree.leaves(diff)) == 0.0
+
+
+def test_tensor_parallel_matches_data_parallel(rng):
+    """A 4x2 (data x model) mesh must produce the same loss as 8x1 on the
+    same batch — the TP sharding only changes layout, not math."""
+    from tubelet_transformer_tpu.parallel.sharding_rules import (
+        shard_train_state,
+    )
+
+    cfg = _tiny_cfg()
+    model = build_model(cfg)
+    batch = _fake_batch(rng, cfg, 8)
+
+    losses = {}
+    for name, (d, m) in {"dp": (8, 1), "dp_tp": (4, 2)}.items():
+        mesh = mesh_lib.create_mesh(data=d, model=m)
+        db = mesh_lib.shard_batch(batch, mesh)
+        state, tx, _ = engine.create_train_state(
+            cfg, model, jax.random.PRNGKey(0), batch, 10)
+        state = shard_train_state(state, mesh)
+        train_step = engine.make_train_step(cfg, model, tx)
+        _, metrics = train_step(state, db, jax.random.PRNGKey(1),
+                                jnp.float32(12.0))
+        losses[name] = float(metrics["total_loss"])
+    np.testing.assert_allclose(losses["dp"], losses["dp_tp"],
+                               rtol=1e-4)
