@@ -110,6 +110,12 @@ def run_training(cfg: Config) -> None:
 
     sample_batch = _sample_batch_from(train_loader)
     state, tx = init_state(cfg, model, steps_per_epoch, sample_batch)
+    if cfg.mesh.model > 1:
+        from tubelet_transformer_tpu.parallel.sharding_rules import (
+            shard_train_state,
+        )
+
+        state = shard_train_state(state, mesh)
 
     start_epoch = cfg.train.start_epoch
     if cfg.model.load and not cfg.model.pretrained_path:
