@@ -9,10 +9,7 @@ feed per-host data shards.
 from __future__ import annotations
 
 import time
-from typing import Optional
-
 import jax
-import numpy as np
 
 from tubelet_transformer_tpu.config import Config
 from tubelet_transformer_tpu.data.loader import DataLoader
@@ -166,8 +163,6 @@ def run_eval(cfg: Config) -> dict:
 def run_generate_lfb(cfg: Config, out_path: str = "lfb_bank.npz") -> str:
     """Run the model in generate_lfb mode over the val split and save the
     long-term feature bank (reference GENERATE_LFB hook, never shipped)."""
-    import jax as _jax
-
     mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
     cfg.model.generate_lfb = True
     _, val_loader = make_loaders(cfg)

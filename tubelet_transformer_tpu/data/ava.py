@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 import os
 from glob import glob
-from typing import Dict, List, Optional, Tuple
+from typing import List
 
 import numpy as np
 

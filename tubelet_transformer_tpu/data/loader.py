@@ -11,10 +11,8 @@ Replaces torch DataLoader + DistributedSampler (ava_frame.py:269-283):
 
 from __future__ import annotations
 
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

@@ -23,7 +23,7 @@ one static shape.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -17,8 +17,7 @@ Bank files are plain .npz keyed by "vid,ssss" AVA keys.
 
 from __future__ import annotations
 
-import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -88,8 +87,6 @@ def generate_bank(cfg, model, variables, loader, mesh,
     """Run the generate_lfb forward over a loader and fill a bank."""
     import jax
     import jax.numpy as jnp
-
-    from tubelet_transformer_tpu.parallel import mesh as mesh_lib
 
     @jax.jit
     def gen_step(variables, clips, pad_mask):

@@ -20,7 +20,7 @@ Checkpoint loading from the Caffe2 ``.mat`` exports is in
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -19,8 +19,6 @@ speed there is off the hot path).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -17,7 +17,7 @@ Foreign formats (for reproducing published numbers):
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

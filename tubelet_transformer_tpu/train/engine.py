@@ -14,8 +14,7 @@ no recompile happens at the swap epoch.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

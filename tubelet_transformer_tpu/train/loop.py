@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from tubelet_transformer_tpu.config import Config
-from tubelet_transformer_tpu.data.loader import DataLoader
 from tubelet_transformer_tpu.eval.ava_eval import (
     AVADetectionEvaluator,
     PersonDetectionEvaluator,
