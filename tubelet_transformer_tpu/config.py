@@ -65,6 +65,11 @@ class DataConfig:
     # this many entries with a validity mask (the reference carries ragged
     # per-sample lists; XLA needs fixed shapes).
     max_boxes: int = 32
+    # Static canvas override (0 = auto: (img_size, img_size*16/9) rounded).
+    # The reference feeds variable aspect-preserving shapes; we pad to one
+    # canvas for XLA. Set both to img_size for square-crop training.
+    canvas_h: int = 0
+    canvas_w: int = 0
     # Use the native (libjpeg, C++) decode+resize path when the shared
     # library is available; PIL otherwise. Native is ~3x faster with
     # bilinear resampling (PIL defaults to bicubic — negligible for

@@ -57,7 +57,10 @@ class AVADataset:
         self.img_size = cfg.data.img_size
         self.resize_size = (cfg.data.img_reshape_size if split == "train"
                             else cfg.data.img_size)
-        self.canvas = T.default_canvas(cfg.data.img_size)
+        if cfg.data.canvas_h and cfg.data.canvas_w:
+            self.canvas = (cfg.data.canvas_h, cfg.data.canvas_w)
+        else:
+            self.canvas = T.default_canvas(cfg.data.img_size)
         self.max_boxes = cfg.data.max_boxes
 
     def __len__(self) -> int:

@@ -34,13 +34,17 @@ _INF = 1.0e15
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _solve_square(cost: jnp.ndarray) -> jnp.ndarray:
-    """Solve an N x N assignment; returns col index per row (N,) int32.
+def _solve_rect(cost: jnp.ndarray) -> jnp.ndarray:
+    """Solve an R x C (R <= C) rectangular assignment; every row gets a
+    column; returns col index per row (R,) int32.
 
     Shortest-augmenting-path Hungarian with potentials (Jonker-Volgenant
     style). 1-indexed internally; column 0 is the virtual start column.
+    Sequential depth scales with R (the matcher's latency driver on TPU —
+    solving rectangular directly instead of padding square halves it for
+    Q=15 queries vs MAX_BOXES=32 targets).
     """
-    n = cost.shape[0]
+    r, cn = cost.shape
     c = jnp.pad(cost.astype(jnp.float32), ((1, 0), (1, 0)))
 
     def solve_row(i, carry):
@@ -63,7 +67,7 @@ def _solve_square(cost: jnp.ndarray) -> jnp.ndarray:
             j1 = jnp.argmin(masked).astype(jnp.int32)
             delta = masked[j1]
             # u[p[j]] += delta for used j (distinct rows); out-of-range drop.
-            scatter_rows = jnp.where(used, p_, n + 2)
+            scatter_rows = jnp.where(used, p_, r + 2)
             u_ = u_.at[scatter_rows].add(delta, mode="drop")
             v_ = jnp.where(used, v_ - delta, v_)
             minv = jnp.where(used, minv, minv - delta)
@@ -71,10 +75,10 @@ def _solve_square(cost: jnp.ndarray) -> jnp.ndarray:
 
         init = (
             jnp.int32(0),
-            jnp.full(n + 1, _INF, jnp.float32),
-            jnp.zeros(n + 1, bool),
+            jnp.full(cn + 1, _INF, jnp.float32),
+            jnp.zeros(cn + 1, bool),
             u, v, p,
-            jnp.zeros(n + 1, jnp.int32),
+            jnp.zeros(cn + 1, jnp.int32),
         )
         j0, _, _, u, v, p, way = jax.lax.while_loop(
             dijkstra_cond, dijkstra_body, init)
@@ -92,20 +96,22 @@ def _solve_square(cost: jnp.ndarray) -> jnp.ndarray:
         _, p = jax.lax.while_loop(augment_cond, augment_body, (j0, p))
         return u, v, p
 
-    u0 = jnp.zeros(n + 1, jnp.float32)
-    v0 = jnp.zeros(n + 1, jnp.float32)
-    p0 = jnp.zeros(n + 1, jnp.int32)
-    _, _, p = jax.lax.fori_loop(1, n + 1, solve_row, (u0, v0, p0))
+    u0 = jnp.zeros(r + 1, jnp.float32)
+    v0 = jnp.zeros(cn + 1, jnp.float32)
+    p0 = jnp.zeros(cn + 1, jnp.int32)
+    _, _, p = jax.lax.fori_loop(1, r + 1, solve_row, (u0, v0, p0))
 
-    # p[j] = row assigned to column j (1-indexed). Invert to row -> col.
-    row_to_col = jnp.zeros(n, jnp.int32)
-    row_to_col = row_to_col.at[p[1:] - 1].set(jnp.arange(n, dtype=jnp.int32))
+    # p[j] = row assigned to column j (1-indexed); 0 = unassigned column.
+    # Invert to row -> col (out-of-range scatter for unassigned dropped).
+    rows = jnp.where(p[1:] > 0, p[1:] - 1, r + 5)
+    row_to_col = jnp.zeros(r, jnp.int32).at[rows].set(
+        jnp.arange(cn, dtype=jnp.int32), mode="drop")
     return row_to_col
 
 
 def solve_assignment(cost: jnp.ndarray) -> jnp.ndarray:
-    """Batched square assignment: (B, N, N) -> (B, N) col per row."""
-    return jax.vmap(_solve_square)(cost)
+    """Batched assignment: (B, R, C) with R <= C -> (B, R) col per row."""
+    return jax.vmap(_solve_rect)(cost)
 
 
 def compute_cost_matrix(
@@ -142,26 +148,29 @@ def match(
       overflow targets (more valid targets than queries).
     """
     b, q, m = cost.shape
-    n = max(q, m)
-    sq = jnp.zeros((b, n, n), jnp.float32)
-    sq = sq.at[:, :q, :m].set(cost)
-    if m < n:  # dummy columns for real rows
-        sq = sq.at[:, :q, m:].set(PAD_COST)
-    # dummy rows (q..n) stay all-zero: row-constant, does not distort.
+    if q <= m:
+        # queries are the short side: solve (Q x M) directly.
+        col = solve_assignment(cost)             # (B, Q) target per query
+        col_valid = jnp.take_along_axis(
+            tgt_valid, jnp.clip(col, 0, m - 1), axis=1)
+        tgt_for_query = jnp.where(col_valid, col, -1).astype(jnp.int32)
+        query_for_tgt = jnp.full((b, m), -1, jnp.int32)
+        rows = jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32)[None], (b, q))
+        scatter_cols = jnp.where(col_valid, col, m + 1)
+        query_for_tgt = jax.vmap(
+            lambda qa, ca, ra: qa.at[ca].set(ra, mode="drop")
+        )(query_for_tgt, scatter_cols, rows)
+        return tgt_for_query, query_for_tgt
 
-    row_to_col = solve_assignment(sq)            # (B, N)
-    col = row_to_col[:, :q]                      # cols matched to real queries
-    col_is_real = col < m
-    col_valid = jnp.take_along_axis(
-        tgt_valid, jnp.clip(col, 0, m - 1), axis=1) & col_is_real
-    tgt_for_query = jnp.where(col_valid, col, -1).astype(jnp.int32)
-
-    query_for_tgt = jnp.full((b, m), -1, jnp.int32)
-    rows = jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32)[None], (b, q))
-    scatter_cols = jnp.where(col_valid, col, m + 1)
-    query_for_tgt = jax.vmap(
-        lambda qa, ca, ra: qa.at[ca].set(ra, mode="drop")
-    )(query_for_tgt, scatter_cols, rows)
+    # more queries than target slots: solve the transpose (M x Q).
+    qcol = solve_assignment(cost.transpose(0, 2, 1))  # (B, M) query per tgt
+    query_for_tgt = jnp.where(tgt_valid, qcol, -1).astype(jnp.int32)
+    tgt_for_query = jnp.full((b, q), -1, jnp.int32)
+    tgts = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None], (b, m))
+    scatter_q = jnp.where(tgt_valid, qcol, q + 1)
+    tgt_for_query = jax.vmap(
+        lambda ta, qa, ia: ta.at[qa].set(ia, mode="drop")
+    )(tgt_for_query, scatter_q, tgts)
     return tgt_for_query, query_for_tgt
 
 
