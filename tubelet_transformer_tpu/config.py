@@ -112,6 +112,10 @@ class ModelConfig:
     # 145 -> 91 clips/s). Re-enable when the T-blocked fused version lands
     # (ROADMAP round-2 item 1).
     pallas_kernels: bool = False
+    # Fused Pallas stem (conv 3x7x7 + BN + ReLU + max-pool in one kernel;
+    # ~3.3x over the XLA chain at bs=4 — benchmarks/bench_stem.py). Applies
+    # at inference on TPU for supported shapes; training/CPU use XLA.
+    stem_kernel: bool = True
 
 
 @dataclass

@@ -25,10 +25,76 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+import jax
+
 from tubelet_transformer_tpu.ops.pallas.depthwise import depthwise_conv3x3x3
+from tubelet_transformer_tpu.ops.pallas.stem import stem_forward, stem_supported
 
 BN_EPS = 1e-3       # reference ir_CSN_152.py:15
 BN_MOMENTUM = 0.9   # flax momentum = 1 - torch momentum (torch bn_mmt = 0.1)
+
+
+class _StemConv(nn.Module):
+    """The stem 3x7x7/(1,2,2) conv with its kernel param exposed so the
+    fused Pallas stem (ops/pallas/stem.py) can consume it directly.
+    Param tree identical to ``nn.Conv(64, (3,7,7), use_bias=False)``."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (3, 7, 7, 3, 64), jnp.float32)
+
+    def __call__(self, x):
+        return jax.lax.conv_general_dilated(
+            x, self.kernel.astype(self.dtype), (1, 2, 2),
+            [(1, 1), (3, 3), (3, 3)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+class _StemBN(nn.Module):
+    """BatchNorm with the same variable tree as ``nn.BatchNorm`` (params
+    scale/bias; batch_stats mean/var) plus ``folded()`` for the fused
+    inference kernel.  Semantics mirror flax's BatchNorm (feature-last,
+    f32 statistics, compute in ``dtype``)."""
+
+    features: int
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        f = (self.features,)
+        self.scale = self.param("scale", nn.initializers.ones, f, jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros, f, jnp.float32)
+        self.mean = self.variable("batch_stats", "mean",
+                                  lambda: jnp.zeros(f, jnp.float32))
+        self.var = self.variable("batch_stats", "var",
+                                 lambda: jnp.ones(f, jnp.float32))
+
+    def folded(self):
+        """Inference-affine (scale', bias') with running stats folded in."""
+        mul = self.scale * jax.lax.rsqrt(self.var.value + self.epsilon)
+        return mul, self.bias - self.mean.value * mul
+
+    def __call__(self, x, train: bool = False):
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            if not self.is_initializing() and self.is_mutable_collection(
+                    "batch_stats"):
+                self.mean.value = (self.momentum * self.mean.value
+                                   + (1 - self.momentum) * mean)
+                self.var.value = (self.momentum * self.var.value
+                                  + (1 - self.momentum) * var)
+        else:
+            mean, var = self.mean.value, self.var.value
+        mul = (self.scale * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+        shift = (self.bias - mean * self.scale
+                 * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+        return x * mul + shift
 
 BLOCK_NUMS = {
     "CSN-152": (3, 8, 36, 3),
@@ -118,20 +184,24 @@ class CSN(nn.Module):
     block_nums: Sequence[int] = (3, 8, 36, 3)
     last_stride: bool = True
     use_pallas: bool = False
+    stem_kernel: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (3, 7, 7), strides=(1, 2, 2),
-                    padding=[(1, 1), (3, 3), (3, 3)], use_bias=False,
-                    dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, param_dtype=jnp.float32,
-                         name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
-                        padding=[(0, 0), (1, 1), (1, 1)])
+        conv1 = _StemConv(dtype=self.dtype, name="conv1")
+        bn1 = _StemBN(64, dtype=self.dtype, name="bn1")
+        if self.stem_kernel and not train and stem_supported(x.shape):
+            # fused Pallas stem: conv + folded BN + ReLU + 1x3x3 max-pool
+            # in one pass (XLA runs this chain at ~13 ms for bs=4 CSN-152 —
+            # reduce_window alone is ~4.7 ms; the kernel does it in ~4 ms).
+            mul, shift = bn1.folded()
+            x = stem_forward(x, conv1.kernel.astype(self.dtype), mul, shift)
+        else:
+            x = nn.relu(bn1(conv1(x), train=train))
+            x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
+                            padding=[(0, 0), (1, 1), (1, 1)])
 
         stage_planes = (64, 128, 256, 512)
         in_planes = 64
@@ -159,9 +229,9 @@ class CSN(nn.Module):
 
 
 def build_csn(backbone_name: str, last_stride: bool, dtype=jnp.float32,
-              use_pallas: bool = False) -> CSN:
+              use_pallas: bool = False, stem_kernel: bool = True) -> CSN:
     if backbone_name not in BLOCK_NUMS:
         raise ValueError(f"unknown backbone {backbone_name!r}; "
                          f"supported: {sorted(BLOCK_NUMS)}")
     return CSN(block_nums=BLOCK_NUMS[backbone_name], last_stride=last_stride,
-               use_pallas=use_pallas, dtype=dtype)
+               use_pallas=use_pallas, stem_kernel=stem_kernel, dtype=dtype)

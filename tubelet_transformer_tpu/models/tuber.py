@@ -73,6 +73,7 @@ class TubeR(nn.Module):
     temporal_ds_strategy: str = "decode"
     dataset_mode: str = "ava"
     use_pallas: bool = False
+    stem_kernel: bool = True
     use_lfb: bool = False
     generate_lfb: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -80,7 +81,8 @@ class TubeR(nn.Module):
     def setup(self):
         self.backbone = build_csn(self.backbone_name, self.last_stride,
                                   dtype=self.dtype,
-                                  use_pallas=self.use_pallas)
+                                  use_pallas=self.use_pallas,
+                                  stem_kernel=self.stem_kernel)
         self.transformer = Transformer(
             d_model=self.hidden_dim, nhead=self.nhead,
             num_encoder_layers=self.enc_layers,
@@ -286,6 +288,7 @@ def build_model(cfg: Config) -> TubeR:
         dataset_mode=("ava" if cfg.data.dataset_name not in ("jhmdb", "ucf")
                       else cfg.data.dataset_name),
         use_pallas=cfg.model.pallas_kernels,
+        stem_kernel=cfg.model.stem_kernel,
         use_lfb=cfg.use_lfb,
         generate_lfb=cfg.model.generate_lfb,
         dtype=dtype,
