@@ -116,6 +116,13 @@ class ModelConfig:
     # ~3.3x over the XLA chain at bs=4 — benchmarks/bench_stem.py). Applies
     # at inference on TPU for supported shapes; training/CPU use XLA.
     stem_kernel: bool = True
+    # Fused stride-1 ir-bottleneck blocks (conv1x1+BN+ReLU+dw3x3x3+BN+ReLU+
+    # conv1x1+BN+add+ReLU in one Pallas pass). Default OFF: wins standalone
+    # parity but loses in-model (151 vs 214 clips/s measured — the
+    # pallas_call fusion barrier + per-frame grid vs XLA's full-batch
+    # matmuls; same lesson as the v1 depthwise kernel). Groundwork for a
+    # T-blocked multi-frame version.
+    fused_blocks: bool = False
 
 
 @dataclass

@@ -27,6 +27,8 @@ from flax import linen as nn
 
 import jax
 
+from tubelet_transformer_tpu.ops.pallas.bottleneck import (
+    bottleneck_fused, bottleneck_supported)
 from tubelet_transformer_tpu.ops.pallas.depthwise import depthwise_conv3x3x3
 from tubelet_transformer_tpu.ops.pallas.stem import stem_forward, stem_supported
 
@@ -52,7 +54,7 @@ class _StemConv(nn.Module):
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
-class _StemBN(nn.Module):
+class _FoldableBN(nn.Module):
     """BatchNorm with the same variable tree as ``nn.BatchNorm`` (params
     scale/bias; batch_stats mean/var) plus ``folded()`` for the fused
     inference kernel.  Semantics mirror flax's BatchNorm (feature-last,
@@ -115,15 +117,41 @@ class DepthwiseConv3d(nn.Module):
     use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        kernel = self.param(
+    def setup(self):
+        self.kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, 3, 1, self.features), jnp.float32)
-        w = kernel.reshape(3, 3, 3, self.features).astype(self.dtype)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.kernel.reshape(3, 3, 3, self.features).astype(self.dtype)
         return depthwise_conv3x3x3(x.astype(self.dtype), w,
                                    stride=tuple(self.strides),
                                    use_pallas=self.use_pallas)
+
+
+class _PointwiseConv(nn.Module):
+    """1x1x1 conv as a channel matmul, kernel param exposed for the fused
+    bottleneck kernel; param tree identical to nn.Conv((1,1,1))."""
+
+    in_features: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def matrix(self):
+        return self.kernel.reshape(self.in_features, self.features)
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (1, 1, 1, self.in_features, self.features),
+                                 jnp.float32)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # conv (not dot) lowering: measured much faster on these shapes
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), self.kernel.astype(self.dtype),
+            (1, 1, 1), [(0, 0)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
 class CSNBottleneck(nn.Module):
@@ -140,36 +168,49 @@ class CSNBottleneck(nn.Module):
     has_downsample: bool = False
     expansion: int = 4
     use_pallas: bool = False
+    fused_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        def bn(name):
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=BN_MOMENTUM,
-                epsilon=BN_EPS, dtype=self.dtype, param_dtype=jnp.float32,
-                name=name)
+        conv1 = _PointwiseConv(self.in_planes, self.planes,
+                               dtype=self.dtype, name="conv1")
+        bn1 = _FoldableBN(self.planes, dtype=self.dtype, name="bn1")
+        st = (self.temporal_stride, self.stride, self.stride)
+        conv3 = DepthwiseConv3d(self.planes, strides=st,
+                                use_pallas=self.use_pallas, dtype=self.dtype,
+                                name="conv3")
+        bn3 = _FoldableBN(self.planes, dtype=self.dtype, name="bn3")
+        conv4 = _PointwiseConv(self.planes, self.planes * self.expansion,
+                               dtype=self.dtype, name="conv4")
+        bn4 = _FoldableBN(self.planes * self.expansion, dtype=self.dtype,
+                      name="bn4")
+
+        if (self.fused_blocks and not train and bottleneck_supported(
+                x.shape, self.planes, self.stride, self.temporal_stride,
+                self.has_downsample)):
+            a1, b1 = bn1.folded()
+            a3, b3 = bn3.folded()
+            a4, b4 = bn4.folded()
+            d = self.dtype
+            return bottleneck_fused(
+                x.astype(d), conv1.matrix.astype(d),
+                conv3.kernel.reshape(3, 3, 3, self.planes).astype(d),
+                conv4.matrix.astype(d), a1, b1, a3, b3, a4, b4)
 
         residual = x
-        out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
-                      dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(x)
-        out = nn.relu(bn("bn1")(out))
-
-        st = (self.temporal_stride, self.stride, self.stride)
-        out = DepthwiseConv3d(self.planes, strides=st,
-                              use_pallas=self.use_pallas, dtype=self.dtype,
-                              name="conv3")(out)
-        out = nn.relu(bn("bn3")(out))
-
-        out = nn.Conv(self.planes * self.expansion, (1, 1, 1), use_bias=False,
-                      dtype=self.dtype, param_dtype=jnp.float32, name="conv4")(out)
-        out = bn("bn4")(out)
+        out = nn.relu(bn1(conv1(x), train=train))
+        out = nn.relu(bn3(conv3(out), train=train))
+        out = bn4(conv4(out), train=train)
 
         if self.has_downsample:
             residual = nn.Conv(self.planes * self.expansion, (1, 1, 1), strides=st,
                                use_bias=False, dtype=self.dtype,
                                param_dtype=jnp.float32, name="downsample_conv")(x)
-            residual = bn("downsample_bn")(residual)
+            residual = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, dtype=self.dtype, param_dtype=jnp.float32,
+                name="downsample_bn")(residual)
 
         return nn.relu(out + residual)
 
@@ -185,13 +226,14 @@ class CSN(nn.Module):
     last_stride: bool = True
     use_pallas: bool = False
     stem_kernel: bool = True
+    fused_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.dtype)
         conv1 = _StemConv(dtype=self.dtype, name="conv1")
-        bn1 = _StemBN(64, dtype=self.dtype, name="bn1")
+        bn1 = _FoldableBN(64, dtype=self.dtype, name="bn1")
         if self.stem_kernel and not train and stem_supported(x.shape):
             # fused Pallas stem: conv + folded BN + ReLU + 1x3x3 max-pool
             # in one pass (XLA runs this chain at ~13 ms for bs=4 CSN-152 —
@@ -221,6 +263,7 @@ class CSN(nn.Module):
                     has_downsample=(b == 0),
                     expansion=4,
                     use_pallas=self.use_pallas,
+                    fused_blocks=self.fused_blocks,
                     dtype=self.dtype,
                     name=f"layer{s + 1}_{b}",
                 )(x, train=train)
@@ -229,9 +272,11 @@ class CSN(nn.Module):
 
 
 def build_csn(backbone_name: str, last_stride: bool, dtype=jnp.float32,
-              use_pallas: bool = False, stem_kernel: bool = True) -> CSN:
+              use_pallas: bool = False, stem_kernel: bool = True,
+              fused_blocks: bool = False) -> CSN:
     if backbone_name not in BLOCK_NUMS:
         raise ValueError(f"unknown backbone {backbone_name!r}; "
                          f"supported: {sorted(BLOCK_NUMS)}")
     return CSN(block_nums=BLOCK_NUMS[backbone_name], last_stride=last_stride,
-               use_pallas=use_pallas, stem_kernel=stem_kernel, dtype=dtype)
+               use_pallas=use_pallas, stem_kernel=stem_kernel,
+               fused_blocks=fused_blocks, dtype=dtype)

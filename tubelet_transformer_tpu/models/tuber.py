@@ -74,6 +74,7 @@ class TubeR(nn.Module):
     dataset_mode: str = "ava"
     use_pallas: bool = False
     stem_kernel: bool = True
+    fused_blocks: bool = False
     use_lfb: bool = False
     generate_lfb: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -82,7 +83,8 @@ class TubeR(nn.Module):
         self.backbone = build_csn(self.backbone_name, self.last_stride,
                                   dtype=self.dtype,
                                   use_pallas=self.use_pallas,
-                                  stem_kernel=self.stem_kernel)
+                                  stem_kernel=self.stem_kernel,
+                                  fused_blocks=self.fused_blocks)
         self.transformer = Transformer(
             d_model=self.hidden_dim, nhead=self.nhead,
             num_encoder_layers=self.enc_layers,
@@ -289,6 +291,7 @@ def build_model(cfg: Config) -> TubeR:
                       else cfg.data.dataset_name),
         use_pallas=cfg.model.pallas_kernels,
         stem_kernel=cfg.model.stem_kernel,
+        fused_blocks=cfg.model.fused_blocks,
         use_lfb=cfg.use_lfb,
         generate_lfb=cfg.model.generate_lfb,
         dtype=dtype,
