@@ -79,10 +79,10 @@ def main():
 
     k_lo, k_hi = (2, 12) if on_tpu else (1, 3)
     best_cps, best_bs = 0.0, 1
-    # bs=4 is the measured throughput knee on v5e (145 vs 124@8, 90@1);
-    # a single batch size keeps the bench to two compiles (~4 min cold,
-    # seconds warm via the persistent cache).
-    for bs in ([4] if on_tpu else [1]):
+    # bs=2 is the measured optimum on v5e with the fused Pallas stem
+    # (247.6 vs 209@4, 225@8 clips/s); a single batch size keeps the bench
+    # to two compiles (~4 min cold, seconds warm via the persistent cache).
+    for bs in ([2] if on_tpu else [1]):
         try:
             t_lo = timed(bs, k_lo)
             t_hi = timed(bs, k_hi)
