@@ -91,3 +91,14 @@ def test_training_smoke_jhmdb(tmp_path):
     cfg.train.batch_size = 1
     cfg.val.batch_size = 1
     runner.run_training(cfg)
+
+
+def test_two_stream_guard(tmp_path):
+    """TWO_STREAM is loop plumbing in the reference with no shipped model
+    or config using it; we refuse it explicitly (runner._check_supported)."""
+    import pytest
+
+    cfg = _smoke_cfg(tmp_path)
+    cfg.two_stream = True
+    with pytest.raises(NotImplementedError, match="TWO_STREAM"):
+        runner.run_training(cfg)
