@@ -74,6 +74,11 @@ class DataConfig:
     # library is available; PIL otherwise. Native is ~3x faster with
     # bilinear resampling (PIL defaults to bicubic — negligible for
     # training, set False for bit-level eval parity runs).
+    # Photometric preprocessing (HSV jitter + ImageNet normalize) on the
+    # TPU inside the jitted step: the loader ships uint8 clips (4x smaller
+    # transfer, ~5x less host CPU per clip). Geometric transforms stay on
+    # the host. data/device_preprocess.py.
+    device_preprocess: bool = True
     native_decode: bool = True
 
 

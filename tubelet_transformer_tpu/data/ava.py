@@ -145,10 +145,12 @@ class AVADataset:
 
         if self.split == "train":
             clip, boxes, labels = T.train_transform_ava(
-                clip, boxes, labels, self.img_size, rng)
+                clip, boxes, labels, self.img_size, rng,
+                device_mode=self.cfg.data.device_preprocess)
         else:
             clip, boxes, labels = T.val_transform_ava(
-                clip, boxes, labels, self.img_size)
+                clip, boxes, labels, self.img_size,
+                device_mode=self.cfg.data.device_preprocess)
         if boxes.shape[0] == 0:
             return None
         return self._finalize(clip, boxes, labels, frame_key, index)

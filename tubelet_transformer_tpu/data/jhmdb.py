@@ -107,10 +107,12 @@ class JHMDBDataset:
         clip = self._load_frames(vid, frame_id, nh, nw)
         if self.split == "train":
             clip, boxes, labels = T.train_transform_ava(
-                clip, boxes, labels, self.img_size, rng)
+                clip, boxes, labels, self.img_size, rng,
+                device_mode=self.cfg.data.device_preprocess)
         else:
             clip, boxes, labels = T.val_transform_ava(
-                clip, boxes, labels, self.img_size)
+                clip, boxes, labels, self.img_size,
+                device_mode=self.cfg.data.device_preprocess)
 
         if self.split != "train" and boxes.shape[0] == 0:
             # test mode injects the reference's dummy box [0, 0, 1, 1]

@@ -122,16 +122,21 @@ def color_jitter_hsv(clip: np.ndarray, rng: np.random.Generator,
     return np.stack([cv2.cvtColor(f, cv2.COLOR_HSV2RGB) for f in hsv])
 
 
+def boxes_to_norm_cxcywh(boxes: np.ndarray, hw) -> np.ndarray:
+    """absolute xyxy -> normalized cxcywh (video_transforms.py:316-323)."""
+    if not boxes.shape[0]:
+        return boxes
+    h, w = hw
+    x0, y0, x1, y1 = boxes.T
+    cxcywh = np.stack([(x0 + x1) / 2, (y0 + y1) / 2,
+                       x1 - x0, y1 - y0], axis=1)
+    return cxcywh / np.array([w, h, w, h], np.float32)
+
+
 def normalize_clip(clip: np.ndarray, boxes: np.ndarray):
     """uint8 -> float32 ImageNet-normalized; boxes -> normalized cxcywh."""
-    t, h, w = clip.shape[:3]
     out = (clip.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
-    if boxes.shape[0]:
-        x0, y0, x1, y1 = boxes.T
-        cxcywh = np.stack([(x0 + x1) / 2, (y0 + y1) / 2,
-                           x1 - x0, y1 - y0], axis=1)
-        boxes = cxcywh / np.array([w, h, w, h], np.float32)
-    return out, boxes
+    return out, boxes_to_norm_cxcywh(boxes, clip.shape[1:3])
 
 
 def pad_to_canvas(clip: np.ndarray, canvas_hw: Tuple[int, int]):
@@ -172,21 +177,31 @@ def pad_targets(boxes: np.ndarray, labels: np.ndarray, max_boxes: int,
 
 
 def train_transform_ava(clip, boxes, labels, img_size: int,
-                        rng: np.random.Generator):
+                        rng: np.random.Generator,
+                        device_mode: bool = False):
     """flip -> random aspect crop -> HSV jitter -> normalize
-    (make_transforms('train'), ava_frame.py:164-170)."""
+    (make_transforms('train'), ava_frame.py:164-170).
+
+    ``device_mode``: leave the clip uint8 and skip jitter/normalize — the
+    photometric stage runs on the TPU inside the jitted step
+    (data/device_preprocess.py); boxes are still converted here."""
     if rng.random() < 0.5:
         clip, boxes = hflip_clip(clip, boxes)
     clip, boxes, labels = random_size_crop_custom(clip, boxes, labels,
                                                   img_size, rng)
+    if device_mode:
+        return clip, boxes_to_norm_cxcywh(boxes, clip.shape[1:3]), labels
     clip = color_jitter_hsv(clip, rng)
     clip, boxes = normalize_clip(clip, boxes)
     return clip, boxes, labels
 
 
-def val_transform_ava(clip, boxes, labels, img_size: int):
+def val_transform_ava(clip, boxes, labels, img_size: int,
+                      device_mode: bool = False):
     """center fake-crop -> normalize (make_transforms('val'))."""
     clip, boxes, labels = resize_custom(clip, boxes, labels, img_size)
+    if device_mode:
+        return clip, boxes_to_norm_cxcywh(boxes, clip.shape[1:3]), labels
     clip, boxes = normalize_clip(clip, boxes)
     return clip, boxes, labels
 

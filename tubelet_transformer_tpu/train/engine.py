@@ -23,6 +23,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.data.device_preprocess import device_preprocess
 from tubelet_transformer_tpu.train import criterion as crit
 from tubelet_transformer_tpu.train.optimizer import build_optimizer
 from tubelet_transformer_tpu.train.postprocess import (
@@ -42,7 +43,7 @@ def create_train_state(cfg: Config, model, rng, sample_batch,
                        steps_per_epoch: int):
     # jit the init: eager flax init dispatches every op separately, which is
     # pathologically slow over a remote-TPU tunnel (minutes for CSN-152).
-    clips = jnp.asarray(sample_batch["clips"])
+    clips = device_preprocess(jnp.asarray(sample_batch["clips"]))
     pad_mask = sample_batch.get("pad_mask")
     variables = jax.jit(
         lambda r: model.init({"params": r}, clips, pad_mask, train=False)
@@ -103,10 +104,15 @@ def make_train_step(cfg: Config, model, tx):
     def train_step(state: TrainState, batch, rng, loss_ce_weight):
         step_rng = jax.random.fold_in(rng, state.step)
 
+        # photometric stage for uint8 clips (host shipped raw pixels);
+        # no-op for float inputs
+        clips = device_preprocess(batch["clips"], key=jax.random.fold_in(
+            step_rng, 1), jitter=True)
+
         def loss_fn(params):
             outputs, new_model_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["clips"], batch.get("pad_mask"), train=True,
+                clips, batch.get("pad_mask"), train=True,
                 mutable=["batch_stats"], rngs={"dropout": step_rng})
             targets = _targets_from_batch(cfg, batch)
             loss_dict = compute_losses(cfg, outputs, targets)
@@ -146,7 +152,8 @@ def make_eval_step(cfg: Config, model):
     def eval_step(state: TrainState, batch):
         outputs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["clips"], batch.get("pad_mask"), train=False)
+            device_preprocess(batch["clips"]), batch.get("pad_mask"),
+            train=False)
         targets = _targets_from_batch(cfg, batch)
         loss_dict = compute_losses(cfg, outputs, targets, evaluation=True)
         scores, boxes, binary = postprocess(outputs, batch["sizes"])
@@ -160,6 +167,7 @@ def make_forward(cfg: Config, model):
     """Plain jitted inference forward (benchmark / serving path)."""
 
     def forward(variables, clips, pad_mask=None):
-        return model.apply(variables, clips, pad_mask, train=False)
+        return model.apply(variables, device_preprocess(clips), pad_mask,
+                           train=False)
 
     return jax.jit(forward)
