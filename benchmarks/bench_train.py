@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(batch_size: int = 2, backbone: str = "CSN-152"):
+def main(batch_size: int = 2, backbone: str = "CSN-152",
+         pretrained: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -31,6 +32,9 @@ def main(batch_size: int = 2, backbone: str = "CSN-152"):
 
     cfg = Config()
     cfg.model.backbone_name = backbone
+    # the reference recipe always fine-tunes from a pretrained backbone
+    # with tune_point=4 (stem+layers1-2 frozen -> backward pruned there)
+    cfg.model.pretrained = pretrained
     cfg.data.img_size = 256
     cfg.train.batch_size = batch_size
     ds = SyntheticAVADataset(cfg, size=batch_size, square=True)
@@ -61,7 +65,8 @@ def main(batch_size: int = 2, backbone: str = "CSN-152"):
     import json
 
     print(json.dumps({
-        "metric": f"train_step_ms_{backbone.lower().replace('-', '')}",
+        "metric": f"train_step_ms_{backbone.lower().replace('-', '')}"
+                  + ("_tunepoint4" if pretrained else "_full"),
         "value": round(best * 1e3, 1), "unit": "ms/step",
         "clips_per_sec_chip": round(batch_size / best, 2),
         "batch_size": batch_size,
@@ -69,4 +74,7 @@ def main(batch_size: int = 2, backbone: str = "CSN-152"):
 
 
 if __name__ == "__main__":
-    main(batch_size=int(sys.argv[1]) if len(sys.argv) > 1 else 2)
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    main(batch_size=bs, pretrained=True)   # the reference fine-tune recipe
+    main(batch_size=bs, pretrained=False)  # full backprop
+

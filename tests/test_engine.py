@@ -133,3 +133,52 @@ def test_tensor_parallel_matches_data_parallel(rng):
         losses[name] = float(metrics["total_loss"])
     np.testing.assert_allclose(losses["dp"], losses["dp_tp"],
                                rtol=1e-4)
+
+
+def test_stop_gradient_prunes_frozen_stages():
+    """With MODEL.PRETRAINED + tune_point, grads of frozen stages are
+    exactly zero (backward pruned at the boundary like torch
+    requires_grad=False in the reference), while trainable stages get
+    real gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tubelet_transformer_tpu.config import Config
+    from tubelet_transformer_tpu.models.tuber import build_model
+
+    cfg = Config()
+    cfg.model.backbone_name = "CSN-TINY"
+    cfg.model.compute_dtype = "float32"
+    cfg.model.pretrained = True          # tune_point=4 -> freeze to layer2
+    cfg.data.img_size = 64
+    cfg.data.temp_len = 8
+    cfg.model.temp_len = 8
+    cfg.model.enc_layers = 1
+    cfg.model.dec_layers = 1
+    cfg.model.d_model = 64
+    cfg.model.nhead = 2
+    cfg.model.dim_feedforward = 64
+    model = build_model(cfg)
+    clips = np.random.default_rng(0).normal(
+        0, 1, (1, 8, 64, 64, 3)).astype(np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           clips, train=False)
+
+    def loss(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            clips, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.sum(out["pred_logits"] ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    bb = grads["backbone"]
+    for frozen in ("conv1", "bn1", "layer1_0", "layer2_0"):
+        leaf_max = max(float(jnp.abs(g).max())
+                       for g in jax.tree.leaves(bb[frozen]))
+        assert leaf_max == 0.0, (frozen, leaf_max)
+    live_max = max(float(jnp.abs(g).max())
+                   for g in jax.tree.leaves(bb["layer3_0"]))
+    assert live_max > 0.0

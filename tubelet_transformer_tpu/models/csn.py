@@ -227,6 +227,7 @@ class CSN(nn.Module):
     use_pallas: bool = False
     stem_kernel: bool = True
     fused_blocks: bool = False
+    stop_grad_stage: int = -1   # train/optimizer.stop_grad_stage(cfg)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -244,6 +245,10 @@ class CSN(nn.Module):
             x = nn.relu(bn1(conv1(x), train=train))
             x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
                             padding=[(0, 0), (1, 1), (1, 1)])
+        if train and self.stop_grad_stage == 0:
+            # frozen stem: prune the backward here (reference freezes via
+            # requires_grad=False at tune_point, ir_CSN_152.py:251-303)
+            x = jax.lax.stop_gradient(x)
 
         stage_planes = (64, 128, 256, 512)
         in_planes = 64
@@ -268,15 +273,18 @@ class CSN(nn.Module):
                     name=f"layer{s + 1}_{b}",
                 )(x, train=train)
             in_planes = planes * 4
+            if train and self.stop_grad_stage == s + 1:
+                x = jax.lax.stop_gradient(x)
         return x
 
 
 def build_csn(backbone_name: str, last_stride: bool, dtype=jnp.float32,
               use_pallas: bool = False, stem_kernel: bool = True,
-              fused_blocks: bool = False) -> CSN:
+              fused_blocks: bool = False, stop_grad_stage: int = -1) -> CSN:
     if backbone_name not in BLOCK_NUMS:
         raise ValueError(f"unknown backbone {backbone_name!r}; "
                          f"supported: {sorted(BLOCK_NUMS)}")
     return CSN(block_nums=BLOCK_NUMS[backbone_name], last_stride=last_stride,
                use_pallas=use_pallas, stem_kernel=stem_kernel,
-               fused_blocks=fused_blocks, dtype=dtype)
+               fused_blocks=fused_blocks, stop_grad_stage=stop_grad_stage,
+               dtype=dtype)

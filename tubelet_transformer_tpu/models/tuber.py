@@ -75,6 +75,7 @@ class TubeR(nn.Module):
     use_pallas: bool = False
     stem_kernel: bool = True
     fused_blocks: bool = False
+    stop_grad_stage: int = -1
     use_lfb: bool = False
     generate_lfb: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -84,7 +85,8 @@ class TubeR(nn.Module):
                                   dtype=self.dtype,
                                   use_pallas=self.use_pallas,
                                   stem_kernel=self.stem_kernel,
-                                  fused_blocks=self.fused_blocks)
+                                  fused_blocks=self.fused_blocks,
+                                  stop_grad_stage=self.stop_grad_stage)
         self.transformer = Transformer(
             d_model=self.hidden_dim, nhead=self.nhead,
             num_encoder_layers=self.enc_layers,
@@ -270,6 +272,7 @@ class TubeR(nn.Module):
 
 
 def build_model(cfg: Config) -> TubeR:
+    from tubelet_transformer_tpu.train.optimizer import stop_grad_stage
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     return TubeR(
         num_classes=cfg.data.num_classes,
@@ -292,6 +295,7 @@ def build_model(cfg: Config) -> TubeR:
         use_pallas=cfg.model.pallas_kernels,
         stem_kernel=cfg.model.stem_kernel,
         fused_blocks=cfg.model.fused_blocks,
+        stop_grad_stage=stop_grad_stage(cfg),
         use_lfb=cfg.use_lfb,
         generate_lfb=cfg.model.generate_lfb,
         dtype=dtype,

@@ -26,6 +26,19 @@ import optax
 _FROZEN_STAGES = ("conv1", "bn1", "layer1_", "layer2_")
 
 
+def stop_grad_stage(cfg) -> int:
+    """Deepest fully-frozen CSN boundary: -1 none, 0 after the stem,
+    s after layer s, 5 after the whole trunk.  Must mirror param_labels —
+    the model inserts lax.stop_gradient there so the backward never runs
+    through frozen stages (the reference gets this for free from torch
+    requires_grad=False pruning, ir_CSN_152.py:321-333)."""
+    if cfg.train.lr_backbone <= 0:
+        return 5
+    if cfg.model.pretrained and cfg.model.tune_point >= 2:
+        return cfg.model.tune_point - 2
+    return -1
+
+
 def _path_str(path) -> str:
     return "/".join(str(getattr(p, "key", p)) for p in path)
 
