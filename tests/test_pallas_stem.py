@@ -77,3 +77,16 @@ def test_stem_grad_matches_xla():
     # a few elements differ; the gradient as a whole must agree
     rel = np.linalg.norm(g_p - g_x) / np.linalg.norm(g_x)
     assert rel < 2e-2, rel
+
+
+def test_stem_pooled_parity_224():
+    """JHMDB/UCF input size: W' = 112 rides padded 128-lane row blocks."""
+    x = _rand((1, 4, 224, 224, 3))
+    w = _rand((3, 7, 7, 3, 64), seed=1) * 0.05
+    sc = jnp.ones((64,))
+    bi = jnp.zeros((64,))
+    ref = S._stem_xla(x, w, sc, bi, relu=True, pool=True)
+    got = S.stem_forward(x, w, sc, bi)
+    assert got.shape == (1, 4, 56, 56, 64)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=6e-2)

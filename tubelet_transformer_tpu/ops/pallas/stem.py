@@ -143,12 +143,15 @@ def _stem_matmul(xd, a_mat, bi, relu, hp, wp, out_dtype, pool=False):
 
     b, t, ht, _ = xd.shape
     nh = hp // HB
-    npix = HB * wp
-    npo = (HB // 2) * (wp // 2)      # pooled pixels per tile
-    cdt = jnp.bfloat16
+    wb = 128                         # padded per-row lane block; rows with
+    npix = HB * wb                   # W' < 128 carry zero ghost lanes (K1's
+    npo = (HB // 2) * (wp // 2)      # one-hot matrix zeroes them) that the
+    cdt = jnp.bfloat16               # E-selection simply never reads
     neg = jnp.finfo(jnp.float32).min
 
     assert nh % 2 == 0, (hp, HB)
+    assert wp % 4 == 0 and wp <= wb, wp
+    assert pool or wp == wb, "channels-mid output requires W' == 128"
 
     # E selects the stride-2 W-downsample AND regroups pooled pixels into
     # pairs: rows [e*npo/2 + jj*(wp//4) + v2] pick m3c row
@@ -161,9 +164,9 @@ def _stem_matmul(xd, a_mat, bi, relu, hp, wp, out_dtype, pool=False):
     es = jnp.repeat(jnp.arange(2), npo2)
     jjs = jnp.tile(jnp.repeat(jnp.arange(HB // 2), wp // 4), 2)
     v2s = jnp.tile(jnp.arange(wp // 4), 2 * (HB // 2))
-    e_mat = jnp.zeros((npo, (HB // 2) * wp), cdt).at[
+    e_mat = jnp.zeros((npo, (HB // 2) * wb), cdt).at[
         es * npo2 + jjs * (wp // 4) + v2s,
-        jjs * wp + 2 * (2 * v2s + es)].set(1)
+        jjs * wb + 2 * (2 * v2s + es)].set(1)
 
     def kernel(x0, x1, x2, x3, a_ref, b_ref, e_ref, o_hbm,
                p0, p1, c0, c1, carry, sems):
@@ -197,11 +200,11 @@ def _stem_matmul(xd, a_mat, bi, relu, hp, wp, out_dtype, pool=False):
                             val = refs[q][
                                 0, 0,
                                 pl.ds(2 * HB * i + 8 * hq, 16),
-                                pl.ds(cidx * LB + jw, wp)]
+                                pl.ds(cidx * LB + jw, wb)]
                             for hl in range(4):
                                 hh = 4 * hq + hl
                                 pbuf[pl.ds(base, 8),
-                                     pl.ds(hh * wp, wp)] = val[
+                                     pl.ds(hh * wb, wb)] = val[
                                          2 * hl:2 * hl + 8]
             # clip-boundary frames (clamped index maps) contribute zero
             @pl.when(tp == 0)
@@ -229,16 +232,16 @@ def _stem_matmul(xd, a_mat, bi, relu, hp, wp, out_dtype, pool=False):
                 out = acc + b_ref[:]
                 if relu:
                     out = jnp.maximum(out, jnp.zeros((), cdt))
-                negrow = jnp.full((wp, 128), neg, cdt)
+                negrow = jnp.full((wb, 128), neg, cdt)
                 hm = []
                 for jj in range(HB // 2):
                     lo = 2 * jj - 1
                     prev = (jnp.where(i > 0, carry[:], negrow) if lo < 0
-                            else out[lo * wp:(lo + 1) * wp])
-                    mid = out[(lo + 1) * wp:(lo + 2) * wp]
-                    hi = out[(lo + 2) * wp:(lo + 3) * wp]
+                            else out[lo * wb:(lo + 1) * wb])
+                    mid = out[(lo + 1) * wb:(lo + 2) * wb]
+                    hi = out[(lo + 2) * wb:(lo + 3) * wb]
                     hm.append(jnp.maximum(jnp.maximum(prev, mid), hi))
-                carry[:] = out[(HB - 1) * wp:HB * wp]
+                carry[:] = out[(HB - 1) * wb:HB * wb]
                 negone = jnp.full((1, 128), neg, cdt)
                 m3 = []
                 for part in hm:
@@ -309,7 +312,7 @@ def _stem_matmul(xd, a_mat, bi, relu, hp, wp, out_dtype, pool=False):
                   pl.BlockSpec((128, 768), lambda bq, tp: (0, 0)),
                   pl.BlockSpec((1, 128) if pool else (128, 1),
                                lambda bq, tp: (0, 0)),
-                  pl.BlockSpec((npo, (HB // 2) * wp),
+                  pl.BlockSpec((npo, (HB // 2) * wb),
                                lambda bq, tp: (0, 0))],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct(
@@ -322,7 +325,7 @@ def _stem_matmul(xd, a_mat, bi, relu, hp, wp, out_dtype, pool=False):
                        out_dtype),
             pltpu.VMEM((2, npo // 2, 128) if pool else (128, npix),
                        out_dtype),
-            pltpu.VMEM((wp, 128), cdt),
+            pltpu.VMEM((wb, 128), cdt),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )(xd, xd, xd, xd, a_mat, bi, e_mat)
@@ -337,7 +340,7 @@ def _stem_pallas(x, w, scale, bias, relu=True, pool=False):
     b, t, h, wd, _ = x.shape
     hp, wp = h // 2, wd // 2                  # output H', W'
     w2 = wp + 3
-    assert t % 2 == 0 and hp % (2 * HB) == 0 and wp % 128 == 0 and w2 <= LB
+    assert t % 2 == 0 and hp % (2 * HB) == 0 and w2 <= LB
 
     # two extra bottom rows: the last tile's 16-row aligned loads extend
     # 2 rows past 2*H'+6; keep them in-bounds (interpret mode clamps OOB
@@ -404,9 +407,10 @@ stem_forward.defvjp(_pfwd, _pbwd)
 
 
 def stem_supported(x_shape) -> bool:
-    """Kernel constraints: T even, HB | H', W' a multiple of 128, fits LB."""
+    """Kernel (pooled path) constraints: T even, 2*HB | H', W' <= 128 and
+    a multiple of 4 (covers AVA 256 -> W'=128 and JHMDB/UCF 224 -> 112)."""
     _, t, h, wd, c = x_shape
+    wp = wd // 2
     return (c == 3 and t % 2 == 0 and h % 2 == 0
-            and (h // 2) % (2 * HB) == 0 and (wd // 2) % 128 == 0
-            and (wd // 2) + 3 <= LB
+            and (h // 2) % (2 * HB) == 0 and wp % 4 == 0 and wp <= 128
             and jax.default_backend() == "tpu")
