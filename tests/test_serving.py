@@ -1,0 +1,75 @@
+"""Streaming serving loop: rolling clip window, keyframe cadence, static
+shapes, online long-term memory feedback (serving.StreamingDetector)."""
+
+import numpy as np
+
+from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.serving import StreamingDetector
+
+
+def _cfg(use_lfb=False):
+    cfg = Config()
+    cfg.data.dataset_name = "ava"
+    cfg.data.num_classes = 5
+    cfg.data.img_size = 32
+    cfg.data.temp_len = 8
+    cfg.data.frame_rate = 2
+    cfg.model.backbone_name = "CSN-TINY"
+    cfg.model.query_num = 5
+    cfg.model.temp_len = 8
+    cfg.model.enc_layers = 1
+    cfg.model.dec_layers = 2
+    cfg.model.d_model = 64
+    cfg.model.nhead = 4
+    cfg.model.dim_feedforward = 64
+    cfg.model.compute_dtype = "float32"
+    cfg.model.temporal_ds_strategy = "avg"
+    cfg.use_lfb = use_lfb
+    return cfg
+
+
+def _frames(n, h=48, w=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(n)]
+
+
+def test_streaming_cadence_and_shapes():
+    det = StreamingDetector(_cfg(), fps=8.0, detect_every=8)
+    results = [r for f in _frames(40) if (r := det.push_frame(f))]
+    # window fills at frame 16 (T=8 * stride 2); detections at the
+    # detect_every cadence afterwards
+    assert len(results) == 4  # window fills at frame 16; then every 8
+    for r in results:
+        # keyframe is the window center
+        assert r.frame_index > 0
+        for d in r.detections:
+            assert d.box.shape == (4,)
+            assert d.scores.shape == (5,)
+            # boxes are in source pixels
+            assert 0 <= d.box[0] <= 64 and 0 <= d.box[3] <= 48
+    # timestamps increase with the cadence
+    assert results[1].frame_index - results[0].frame_index == 8
+
+
+def test_streaming_lfb_memory_grows():
+    det = StreamingDetector(_cfg(use_lfb=True), fps=8.0, detect_every=4,
+                            memory_keyframes=3, memory_slots=2,
+                            actor_threshold=-1.0)  # admit everything
+    sizes = [r.memory_size
+             for f in _frames(48) if (r := det.push_frame(f))]
+    assert len(sizes) >= 4
+    # memory starts empty, grows by <= slots per keyframe, caps at 3*2
+    assert sizes[0] == 0
+    assert max(sizes) <= 6
+    assert sizes[-1] == 6
+    det.reset()
+    assert det.push_frame(_frames(1)[0]) is None
+
+
+def test_flush_pads_short_buffer():
+    det = StreamingDetector(_cfg(), fps=8.0)
+    for f in _frames(5):
+        assert det.push_frame(f) is None
+    res = det.flush()
+    assert res is not None and res.latency_ms > 0

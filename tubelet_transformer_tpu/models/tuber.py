@@ -179,6 +179,7 @@ class TubeR(nn.Module):
         train: bool = False,
         lfb_features: Optional[jnp.ndarray] = None,  # (B, L_mem, E)
         lfb_mask: Optional[jnp.ndarray] = None,      # (B, L_mem) True = pad
+        return_features: bool = False,  # also emit final-layer query features
     ):
         b, t_in, h_in, w_in, _ = clips.shape
         deterministic = not train
@@ -259,7 +260,7 @@ class TubeR(nn.Module):
                 "pred_boxes": outputs_coord[-1],
             }
 
-        return {
+        out = {
             "pred_logits": outputs_class[-1].astype(jnp.float32),
             "pred_boxes": outputs_coord[-1],
             "pred_logits_b": outputs_class_b[-1].astype(jnp.float32),
@@ -269,6 +270,12 @@ class TubeR(nn.Module):
             "aux_boxes": outputs_coord,
             "aux_logits_b": outputs_class_b.astype(jnp.float32),
         }
+        if return_features:
+            # Final-layer context features per query — the same tensor the
+            # generate_lfb path banks; serving uses it to maintain a rolling
+            # long-term memory online (serving.StreamingDetector).
+            out["lfb_features"] = q_class[-1].astype(jnp.float32)
+        return out
 
 
 def build_model(cfg: Config) -> TubeR:

@@ -1,0 +1,267 @@
+"""Online (streaming) inference for TubeR-TPU.
+
+The reference ships streaming machinery — the ``online_inference`` KV-cache
+attention (models/transformer/transformer_layers.py:132-154, 209-304) and
+LFB forward plumbing (utils/video_action_recognition.py:109-139) — but no
+serving entry point uses it.  This module is that missing serving loop,
+built TPU-first:
+
+  * ``StreamingDetector`` consumes raw frames one at a time, maintains the
+    rolling clip window (``TEMP_LEN`` frames at ``FRAME_RATE`` stride, the
+    AVA sampling of datasets/ava_frame.py:39-43), and runs one jitted
+    detection per keyframe cadence;
+  * every compiled shape is static — frames are aspect-resized onto a fixed
+    ``IMG_SIZE`` canvas with a padding mask, uint8 travels to the device and
+    photometric normalization runs in-graph (data/device_preprocess.py);
+  * with ``CONFIG.USE_LFB`` on, the detector carries a rolling *long-term
+    memory* across clips: each detection's final-layer query features for
+    confident actors enter a fixed-shape memory window that the next
+    detection cross-attends over (the advertised "+long-term context"
+    capability, reference README.md:16-26, served online instead of from a
+    precomputed bank).
+
+A detection for video time t is emitted once the clip window centered at t
+is complete — i.e. with an inherent delay of half a clip
+(TEMP_LEN/2 * FRAME_RATE raw frames), matching the reference's keyframe-
+centered clip semantics (ava_frame.py:43).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.data.device_preprocess import device_preprocess
+from tubelet_transformer_tpu.models.tuber import build_model
+from tubelet_transformer_tpu.train.postprocess import (
+    postprocess_ava,
+    postprocess_softmax,
+)
+
+
+@dataclass
+class Detection:
+    """One detected actor at a keyframe."""
+
+    box: np.ndarray          # (4,) xyxy in source-frame pixels
+    actor_prob: float
+    scores: np.ndarray       # (num_classes,) per-action scores
+
+
+@dataclass
+class KeyframeResult:
+    frame_index: int         # source frame index of the keyframe
+    time_s: float            # frame_index / fps
+    detections: List[Detection]
+    latency_ms: float        # host wall-clock of the detection call
+    memory_size: int = 0     # valid long-term memory tokens used
+
+
+@dataclass
+class _Memory:
+    """Rolling long-term memory: per past keyframe, ``slots`` feature rows."""
+
+    slots: int
+    keyframes: int
+    feat_dim: int
+    feats: deque = field(default_factory=deque)
+    valid: deque = field(default_factory=deque)
+
+    def push(self, features: np.ndarray, actor_prob: np.ndarray,
+             threshold: float) -> None:
+        order = np.argsort(-actor_prob)[: self.slots]
+        f = np.zeros((self.slots, self.feat_dim), np.float32)
+        v = np.zeros((self.slots,), bool)
+        f[: len(order)] = features[order]
+        v[: len(order)] = actor_prob[order] > threshold
+        self.feats.append(f)
+        self.valid.append(v)
+        while len(self.feats) > self.keyframes:
+            self.feats.popleft()
+            self.valid.popleft()
+
+    def window(self):
+        """Fixed-shape (keyframes*slots, D) memory + True-is-pad mask."""
+        l_mem = self.keyframes * self.slots
+        feats = np.zeros((l_mem, self.feat_dim), np.float32)
+        mask = np.ones((l_mem,), bool)
+        for i, (f, v) in enumerate(zip(self.feats, self.valid)):
+            feats[i * self.slots:(i + 1) * self.slots] = f
+            mask[i * self.slots:(i + 1) * self.slots] = ~v
+        return feats, mask
+
+
+class StreamingDetector:
+    """Streaming TubeR detector over a live frame feed.
+
+    Args:
+      cfg: framework config; ``cfg.use_lfb`` enables the online long-term
+        memory (requires lfb parameters in ``variables``).
+      variables: flax variables dict; if None, randomly initialized (demo).
+      detect_every: run one detection per this many pushed frames
+        (default ``fps`` -> one detection per source second, the AVA
+        keyframe cadence).
+      fps: source frame rate, for timestamps and the default cadence.
+      memory_keyframes / memory_slots: long-term memory extent (past
+        keyframes remembered x actor slots per keyframe).
+    """
+
+    def __init__(self, cfg: Config, variables=None, *,
+                 detect_every: Optional[int] = None, fps: float = 30.0,
+                 memory_keyframes: int = 10, memory_slots: int = 5,
+                 actor_threshold: float = 0.8, rng_seed: int = 0):
+        self.cfg = cfg
+        self.fps = fps
+        self.t_len = cfg.data.temp_len
+        self.stride = max(1, cfg.data.frame_rate)
+        self.img_size = cfg.data.img_size
+        self.detect_every = int(detect_every or round(fps))
+        self.actor_threshold = actor_threshold
+        self.is_ava = cfg.data.dataset_name not in ("jhmdb", "ucf")
+
+        self.model = build_model(cfg)
+        if variables is None:
+            init_clip = np.zeros(
+                (1, self.t_len, self.img_size, self.img_size, 3), np.float32)
+            kw = {}
+            if cfg.use_lfb:
+                kw = dict(
+                    lfb_features=np.zeros(
+                        (1, memory_keyframes * memory_slots,
+                         cfg.model.d_model), np.float32),
+                    lfb_mask=np.ones(
+                        (1, memory_keyframes * memory_slots), bool))
+            variables = jax.jit(
+                functools.partial(self.model.init, train=False, **kw)
+            )(jax.random.PRNGKey(rng_seed), init_clip)
+        self.variables = variables
+
+        self.memory = _Memory(memory_slots, memory_keyframes,
+                              cfg.model.d_model) if cfg.use_lfb else None
+        self._frames: deque = deque(maxlen=self.t_len * self.stride)
+        self._frame_count = 0
+        self._since_detect = 0
+        self._src_hw = None
+        self._scale = 1.0
+        self._detect = jax.jit(self._detect_fn)
+
+    # -- device step ------------------------------------------------------
+
+    def _detect_fn(self, variables, clip_u8, pad_mask, lfb_feats, lfb_mask):
+        clips = device_preprocess(clip_u8, dtype=jnp.float32)
+        kw = {}
+        if self.memory is not None:
+            kw = dict(lfb_features=lfb_feats, lfb_mask=lfb_mask)
+        out = self.model.apply(variables, clips, pad_mask, train=False,
+                               return_features=True, **kw)
+        size = jnp.asarray([[self.img_size, self.img_size]], jnp.float32)
+        post = postprocess_ava if self.is_ava else postprocess_softmax
+        scores, boxes, binary = post(out, size)
+        return scores, boxes, binary, out["lfb_features"]
+
+    # -- host loop --------------------------------------------------------
+
+    def _prep_frame(self, frame: np.ndarray) -> np.ndarray:
+        """Aspect-preserving resize onto the fixed canvas (top-left)."""
+        h, w = frame.shape[:2]
+        if self._src_hw is None:
+            self._src_hw = (h, w)
+            self._scale = self.img_size / max(h, w)
+        nh = max(1, int(round(h * self._scale)))
+        nw = max(1, int(round(w * self._scale)))
+        if (nh, nw) != (h, w):
+            from PIL import Image
+
+            frame = np.asarray(Image.fromarray(frame).resize(
+                (nw, nh), Image.BILINEAR))
+        canvas = np.zeros((self.img_size, self.img_size, 3), np.uint8)
+        canvas[:nh, :nw] = frame
+        self._valid_hw = (nh, nw)
+        return canvas
+
+    def reset(self) -> None:
+        self._frames.clear()
+        self._frame_count = 0
+        self._since_detect = 0
+        if self.memory is not None:
+            self.memory.feats.clear()
+            self.memory.valid.clear()
+
+    def push_frame(self, frame: np.ndarray) -> Optional[KeyframeResult]:
+        """Feed one (H, W, 3) uint8 RGB frame; returns a result when a
+        keyframe detection fires, else None."""
+        self._frames.append(self._prep_frame(frame))
+        self._frame_count += 1
+        self._since_detect += 1
+        window = self.t_len * self.stride
+        if len(self._frames) < window or self._since_detect < self.detect_every:
+            return None
+        self._since_detect = 0
+        return self._run_detection()
+
+    def flush(self) -> Optional[KeyframeResult]:
+        """Run a final detection on the current (possibly short) buffer by
+        repeating the last frame to fill the window."""
+        if not self._frames:
+            return None
+        while len(self._frames) < self._frames.maxlen:
+            self._frames.append(self._frames[-1])
+        return self._run_detection()
+
+    def _run_detection(self) -> KeyframeResult:
+        t0 = time.perf_counter()
+        frames = list(self._frames)
+        clip = np.stack(frames[:: self.stride])[None]       # (1,T,H,W,3)
+        nh, nw = self._valid_hw
+        pad = np.ones((1, self.img_size, self.img_size), bool)
+        pad[:, :nh, :nw] = False
+
+        if self.memory is not None:
+            mem, mmask = self.memory.window()
+            mem, mmask = mem[None], mmask[None]
+            mem_size = int((~mmask).sum())
+        else:
+            l0 = 1  # unused placeholder shapes
+            mem = np.zeros((1, l0, self.cfg.model.d_model), np.float32)
+            mmask = np.ones((1, l0), bool)
+            mem_size = 0
+
+        scores, boxes, binary, feats = self._detect(
+            self.variables, clip, pad, mem, mmask)
+        scores = np.asarray(scores)[0]
+        boxes = np.asarray(boxes)[0]
+        binary = np.asarray(binary)[0, :, 0]
+        feats = np.asarray(feats)[0]
+
+        if self.memory is not None:
+            self.memory.push(feats, binary, self.actor_threshold)
+
+        # Map canvas-pixel boxes back to source-frame pixels.
+        boxes = boxes / self._scale
+        sh, sw = self._src_hw
+        boxes = np.clip(boxes, 0, [sw, sh, sw, sh])
+
+        dets = [
+            Detection(box=boxes[q], actor_prob=float(binary[q]),
+                      scores=scores[q])
+            for q in range(len(binary))
+            if binary[q] > self.actor_threshold
+        ]
+        # keyframe = center of the clip window (ava_frame.py:43)
+        key_idx = self._frame_count - self.t_len * self.stride // 2
+        return KeyframeResult(
+            frame_index=key_idx,
+            time_s=key_idx / self.fps,
+            detections=dets,
+            latency_ms=(time.perf_counter() - t0) * 1e3,
+            memory_size=mem_size,
+        )
