@@ -128,6 +128,16 @@ class ModelConfig:
     # matmuls; same lesson as the v1 depthwise kernel). Groundwork for a
     # T-blocked multi-frame version.
     fused_blocks: bool = False
+    # Stage-chain kernels: the stride-1 identity tail of a CSN stage runs
+    # as pipelined multi-block Pallas chains (one HBM read/write per chain,
+    # mids and intermediate block outputs live in VMEM rings,
+    # ops/pallas/stage.py). Default OFF — measured SLOWER than XLA (3.6 vs
+    # 2.9 ms standalone at layer2 scale): XLA lowers depthwise convs
+    # through a native TPU conv emitter that runs ~7x faster than pure VPU
+    # tap FMAs (which pallas is limited to), so the chain's dw taps are the
+    # wall. Kept as tested groundwork + documentation of the negative
+    # result (see ROADMAP).
+    fused_stages: bool = False
 
 
 @dataclass

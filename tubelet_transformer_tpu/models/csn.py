@@ -30,6 +30,8 @@ import jax
 from tubelet_transformer_tpu.ops.pallas.bottleneck import (
     bottleneck_fused, bottleneck_supported)
 from tubelet_transformer_tpu.ops.pallas.depthwise import depthwise_conv3x3x3
+from tubelet_transformer_tpu.ops.pallas.stage import (
+    bottleneck_chain, chain_supported, max_chain)
 from tubelet_transformer_tpu.ops.pallas.stem import stem_forward, stem_supported
 
 BN_EPS = 1e-3       # reference ir_CSN_152.py:15
@@ -158,7 +160,9 @@ class CSNBottleneck(nn.Module):
     """ir-bottleneck: 1x1x1 conv -> depthwise 3x3x3 -> 1x1x1, each + BN(+ReLU).
 
     Reference ir_CSN_152.py:33-90. ``conv3`` is the channel-separated
-    (depthwise) spatio-temporal conv: groups == planes.
+    (depthwise) spatio-temporal conv: groups == planes.  setup-style (not
+    compact) so the stage-chain kernel can stack ``fused_params()`` across
+    blocks; param names are unchanged.
     """
 
     in_planes: int
@@ -171,46 +175,58 @@ class CSNBottleneck(nn.Module):
     fused_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        conv1 = _PointwiseConv(self.in_planes, self.planes,
-                               dtype=self.dtype, name="conv1")
-        bn1 = _FoldableBN(self.planes, dtype=self.dtype, name="bn1")
+    def setup(self):
+        self.conv1 = _PointwiseConv(self.in_planes, self.planes,
+                                    dtype=self.dtype, name="conv1")
+        self.bn1 = _FoldableBN(self.planes, dtype=self.dtype, name="bn1")
         st = (self.temporal_stride, self.stride, self.stride)
-        conv3 = DepthwiseConv3d(self.planes, strides=st,
-                                use_pallas=self.use_pallas, dtype=self.dtype,
-                                name="conv3")
-        bn3 = _FoldableBN(self.planes, dtype=self.dtype, name="bn3")
-        conv4 = _PointwiseConv(self.planes, self.planes * self.expansion,
-                               dtype=self.dtype, name="conv4")
-        bn4 = _FoldableBN(self.planes * self.expansion, dtype=self.dtype,
-                      name="bn4")
+        self.conv3 = DepthwiseConv3d(self.planes, strides=st,
+                                     use_pallas=self.use_pallas,
+                                     dtype=self.dtype, name="conv3")
+        self.bn3 = _FoldableBN(self.planes, dtype=self.dtype, name="bn3")
+        self.conv4 = _PointwiseConv(self.planes,
+                                    self.planes * self.expansion,
+                                    dtype=self.dtype, name="conv4")
+        self.bn4 = _FoldableBN(self.planes * self.expansion,
+                               dtype=self.dtype, name="bn4")
+        if self.has_downsample:
+            self.downsample_conv = nn.Conv(
+                self.planes * self.expansion, (1, 1, 1), strides=st,
+                use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                name="downsample_conv")
+            self.downsample_bn = nn.BatchNorm(
+                momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
+                param_dtype=jnp.float32, name="downsample_bn")
 
+    def fused_params(self):
+        """(w1, wd, w4, a1, b1, a3, b3, a4, b4) with inference-folded BNs,
+        for the fused single-block / stage-chain kernels."""
+        a1, b1 = self.bn1.folded()
+        a3, b3 = self.bn3.folded()
+        a4, b4 = self.bn4.folded()
+        return (self.conv1.matrix,
+                self.conv3.kernel.reshape(3, 3, 3, self.planes),
+                self.conv4.matrix, a1, b1, a3, b3, a4, b4)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if (self.fused_blocks and not train and bottleneck_supported(
                 x.shape, self.planes, self.stride, self.temporal_stride,
                 self.has_downsample)):
-            a1, b1 = bn1.folded()
-            a3, b3 = bn3.folded()
-            a4, b4 = bn4.folded()
             d = self.dtype
+            w1, wd, w4, a1, b1, a3, b3, a4, b4 = self.fused_params()
             return bottleneck_fused(
-                x.astype(d), conv1.matrix.astype(d),
-                conv3.kernel.reshape(3, 3, 3, self.planes).astype(d),
-                conv4.matrix.astype(d), a1, b1, a3, b3, a4, b4)
+                x.astype(d), w1.astype(d), wd.astype(d), w4.astype(d),
+                a1, b1, a3, b3, a4, b4)
 
         residual = x
-        out = nn.relu(bn1(conv1(x), train=train))
-        out = nn.relu(bn3(conv3(out), train=train))
-        out = bn4(conv4(out), train=train)
+        out = nn.relu(self.bn1(self.conv1(x), train=train))
+        out = nn.relu(self.bn3(self.conv3(out), train=train))
+        out = self.bn4(self.conv4(out), train=train)
 
         if self.has_downsample:
-            residual = nn.Conv(self.planes * self.expansion, (1, 1, 1), strides=st,
-                               use_bias=False, dtype=self.dtype,
-                               param_dtype=jnp.float32, name="downsample_conv")(x)
-            residual = nn.BatchNorm(
-                use_running_average=not train, momentum=BN_MOMENTUM,
-                epsilon=BN_EPS, dtype=self.dtype, param_dtype=jnp.float32,
-                name="downsample_bn")(residual)
+            residual = self.downsample_conv(x)
+            residual = self.downsample_bn(
+                residual, use_running_average=not train)
 
         return nn.relu(out + residual)
 
@@ -227,6 +243,7 @@ class CSN(nn.Module):
     use_pallas: bool = False
     stem_kernel: bool = True
     fused_blocks: bool = False
+    fused_stages: bool = False
     stop_grad_stage: int = -1   # train/optimizer.stop_grad_stage(cfg)
     dtype: jnp.dtype = jnp.float32
 
@@ -253,25 +270,44 @@ class CSN(nn.Module):
         stage_planes = (64, 128, 256, 512)
         in_planes = 64
         for s, (planes, blocks) in enumerate(zip(stage_planes, self.block_nums)):
+            if blocks == 0:   # truncated trunk (segment benches)
+                continue
             if s == 0:
                 stride, tstride = 1, 1
             elif s == 3:
                 stride, tstride = (2 if self.last_stride else 1), 2
             else:
                 stride, tstride = 2, 2
-            for b in range(blocks):
-                x = CSNBottleneck(
-                    in_planes=in_planes if b == 0 else planes * 4,
-                    planes=planes,
-                    stride=stride if b == 0 else 1,
-                    temporal_stride=tstride if b == 0 else 1,
-                    has_downsample=(b == 0),
-                    expansion=4,
-                    use_pallas=self.use_pallas,
-                    fused_blocks=self.fused_blocks,
-                    dtype=self.dtype,
-                    name=f"layer{s + 1}_{b}",
-                )(x, train=train)
+            mods = [CSNBottleneck(
+                in_planes=in_planes if b == 0 else planes * 4,
+                planes=planes,
+                stride=stride if b == 0 else 1,
+                temporal_stride=tstride if b == 0 else 1,
+                has_downsample=(b == 0),
+                expansion=4,
+                use_pallas=self.use_pallas,
+                fused_blocks=self.fused_blocks,
+                dtype=self.dtype,
+                name=f"layer{s + 1}_{b}",
+            ) for b in range(blocks)]
+
+            x = mods[0](x, train=train)
+            if (self.fused_stages and not train and blocks > 1
+                    and chain_supported(x.shape, planes)):
+                # identity tail of the stage as pipelined chain kernels: one
+                # HBM read/write per chain instead of ~6 per block
+                hw = x.shape[2] * x.shape[3]
+                kmax = max_chain(hw, planes * 4, planes)
+                b = 1
+                while b < blocks:
+                    g = min(kmax, blocks - b)
+                    stacked = [jnp.stack(parts) for parts in zip(
+                        *(mods[j].fused_params() for j in range(b, b + g)))]
+                    x = bottleneck_chain(x.astype(self.dtype), *stacked)
+                    b += g
+            else:
+                for mod in mods[1:]:
+                    x = mod(x, train=train)
             in_planes = planes * 4
             if train and self.stop_grad_stage == s + 1:
                 x = jax.lax.stop_gradient(x)
@@ -280,11 +316,12 @@ class CSN(nn.Module):
 
 def build_csn(backbone_name: str, last_stride: bool, dtype=jnp.float32,
               use_pallas: bool = False, stem_kernel: bool = True,
-              fused_blocks: bool = False, stop_grad_stage: int = -1) -> CSN:
+              fused_blocks: bool = False, fused_stages: bool = False,
+              stop_grad_stage: int = -1) -> CSN:
     if backbone_name not in BLOCK_NUMS:
         raise ValueError(f"unknown backbone {backbone_name!r}; "
                          f"supported: {sorted(BLOCK_NUMS)}")
     return CSN(block_nums=BLOCK_NUMS[backbone_name], last_stride=last_stride,
                use_pallas=use_pallas, stem_kernel=stem_kernel,
-               fused_blocks=fused_blocks, stop_grad_stage=stop_grad_stage,
-               dtype=dtype)
+               fused_blocks=fused_blocks, fused_stages=fused_stages,
+               stop_grad_stage=stop_grad_stage, dtype=dtype)

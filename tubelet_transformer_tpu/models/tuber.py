@@ -75,6 +75,7 @@ class TubeR(nn.Module):
     use_pallas: bool = False
     stem_kernel: bool = True
     fused_blocks: bool = False
+    fused_stages: bool = False
     stop_grad_stage: int = -1
     use_lfb: bool = False
     generate_lfb: bool = False
@@ -86,6 +87,7 @@ class TubeR(nn.Module):
                                   use_pallas=self.use_pallas,
                                   stem_kernel=self.stem_kernel,
                                   fused_blocks=self.fused_blocks,
+                                  fused_stages=self.fused_stages,
                                   stop_grad_stage=self.stop_grad_stage)
         self.transformer = Transformer(
             d_model=self.hidden_dim, nhead=self.nhead,
@@ -302,6 +304,7 @@ def build_model(cfg: Config) -> TubeR:
         use_pallas=cfg.model.pallas_kernels,
         stem_kernel=cfg.model.stem_kernel,
         fused_blocks=cfg.model.fused_blocks,
+        fused_stages=cfg.model.fused_stages,
         stop_grad_stage=stop_grad_stage(cfg),
         use_lfb=cfg.use_lfb,
         generate_lfb=cfg.model.generate_lfb,
