@@ -49,7 +49,7 @@ import jax.numpy as jnp
 from jax import lax
 
 HB = 8    # output rows per matmul tile
-_DEBUG = {"skip_build": False, "skip_dot": False,
+_DEBUG = {"skip_build": False, "skip_dot": False, "one_jw": False,
           "interpret": False}  # interpret=True: CPU-debuggable kernels
 LB = 256  # lanes per cidx block in the deinterleaved layout
 
@@ -89,6 +89,14 @@ def _weight_matrix(w):
         sub = sub.transpose(0, 3, 4, 5, 1, 2, 6)      # (q, jw, rw, c, jh, rh, o)
         cols.append(sub.reshape(768, 64))
     return jnp.concatenate(cols, axis=1).T            # (128, 768)
+
+
+def _weight_matrix_v3(w):
+    """(4, 128, 192) jw-major split of ``_weight_matrix``: A3[jw][:, q*48+r]
+    = A[:, q*192 + jw*48 + r].  The pooled kernel runs one dot per jw on a
+    lane-shifted patch view instead of materializing the shift in P."""
+    a = _weight_matrix(w)                             # (128, 768)
+    return a.reshape(128, 4, 4, 48).transpose(2, 0, 1, 3).reshape(4, 128, 192)
 
 
 def _deinterleave(xr, w2):
@@ -190,6 +198,35 @@ def _stem_matmul(xd, a_mat, bi, relu, hp, wp, out_dtype, pool=False):
         def build(i, pbuf):
             if _DEBUG["skip_build"]:
                 return
+            if pool:
+                # v3: jw lives in the dots, not in P.  P (192, HB*256):
+                # P[q*48+cidx*8+(jh*2+rh), hh*256 + v]
+                #   = xd[frame q, 2*(h0+hh) + jh*2+rh, cidx*LB + v], v<136;
+                # the per-jw patch view is the lane slice [jw, jw+wb) of
+                # each 256-aligned hh block.  4x fewer build copies than
+                # materializing all four shifts.
+                for q in range(4):
+                    for cidx in range(6):
+                        base = q * 48 + cidx * 8
+                        for hq in range(HB // 4):
+                            val = refs[q][
+                                0, 0,
+                                pl.ds(2 * HB * i + 8 * hq, 16),
+                                pl.ds(cidx * LB, 136)]
+                            for hl in range(4):
+                                hh = 4 * hq + hl
+                                pbuf[pl.ds(base, 8),
+                                     pl.ds(hh * 256, 136)] = val[
+                                         2 * hl:2 * hl + 8]
+                # clip-boundary frames contribute zero
+                @pl.when(tp == 0)
+                def _():
+                    pbuf[0:48, :] = jnp.zeros((48, HB * 256), cdt)
+
+                @pl.when(tp == ntp - 1)
+                def _():
+                    pbuf[144:192, :] = jnp.zeros((48, HB * 256), cdt)
+                return
             # P[q*192+jw*48+cidx*8+(jh*2+rh), hh*W'+w']
             #   = xd[frame q, 2*(h0+hh) + jh*2+rh, cidx*LB + w'+jw]
             for q in range(4):
@@ -225,10 +262,21 @@ def _stem_matmul(xd, a_mat, bi, relu, hp, wp, out_dtype, pool=False):
             # scale is pre-folded into A rows; cast the f32 accumulator
             # immediately so the bias+relu tail runs at 2x VPU rate.
             if pool:
-                # flipped orientation: (npix, 128) — pixels on sublanes
-                acc = lax.dot_general(
-                    pbufs[slot][:], a_ref[:], (((0,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(cdt)
+                # flipped orientation: (npix, 128) — pixels on sublanes.
+                # One dot per jw tap-shift on the lane-shifted patch view.
+                if _DEBUG["skip_dot"]:
+                    accf = jnp.zeros((npix, 128), jnp.float32)
+                else:
+                    accf = jnp.zeros((npix, 128), jnp.float32)
+                    pb = pbufs[slot]
+                    for jw in ((0,) if _DEBUG["one_jw"] else range(4)):
+                        rhs = jnp.concatenate(
+                            [pb[:, hh * 256 + jw: hh * 256 + jw + wb]
+                             for hh in range(HB)], axis=1)       # (192, npix)
+                        accf = accf + lax.dot_general(
+                            rhs, a_ref[jw], (((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                acc = accf.astype(cdt)
                 out = acc + b_ref[:]
                 if relu:
                     out = jnp.maximum(out, jnp.zeros((), cdt))
@@ -309,7 +357,8 @@ def _stem_matmul(xd, a_mat, bi, relu, hp, wp, out_dtype, pool=False):
         interpret=_DEBUG["interpret"],
         grid=(b, t // 2),
         in_specs=[frame_spec(0), frame_spec(1), frame_spec(2), frame_spec(3),
-                  pl.BlockSpec((128, 768), lambda bq, tp: (0, 0)),
+                  pl.BlockSpec((4, 128, 192) if pool else (128, 768),
+                               lambda bq, tp: (0, 0, 0) if pool else (0, 0)),
                   pl.BlockSpec((1, 128) if pool else (128, 1),
                                lambda bq, tp: (0, 0)),
                   pl.BlockSpec((npo, (HB // 2) * wb),
@@ -319,8 +368,8 @@ def _stem_matmul(xd, a_mat, bi, relu, hp, wp, out_dtype, pool=False):
             (b, t, (hp // 2) * (wp // 2) // 2, 128) if pool
             else (b, t, 64, hp * wp), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((768, npix), cdt),
-            pltpu.VMEM((768, npix), cdt),
+            pltpu.VMEM((192, HB * 256) if pool else (768, npix), cdt),
+            pltpu.VMEM((192, HB * 256) if pool else (768, npix), cdt),
             pltpu.VMEM((2, npo // 2, 128) if pool else (128, npix),
                        out_dtype),
             pltpu.VMEM((2, npo // 2, 128) if pool else (128, npix),
@@ -349,9 +398,13 @@ def _stem_pallas(x, w, scale, bias, relu=True, pool=False):
     xr = xp.reshape(b, t, h + 8, (wd + 6) * 3).astype(jnp.bfloat16)
     xd = _deinterleave(xr, w2)
 
-    a_mat = _weight_matrix(w.astype(jnp.float32))
     sc = jnp.tile(scale.astype(jnp.float32), 2)
-    a_mat = (a_mat * sc[:, None]).astype(jnp.bfloat16)
+    if pool:
+        a_mat = _weight_matrix_v3(w.astype(jnp.float32))
+        a_mat = (a_mat * sc[None, :, None]).astype(jnp.bfloat16)
+    else:
+        a_mat = _weight_matrix(w.astype(jnp.float32))
+        a_mat = (a_mat * sc[:, None]).astype(jnp.bfloat16)
     bi = jnp.tile(bias.astype(jnp.float32), 2).reshape(128, 1)
     if pool:
         bi = bi.reshape(1, 128)
