@@ -50,7 +50,8 @@ def main(batch_size: int = 2, backbone: str = "CSN-152",
     key = jax.random.PRNGKey(1)
 
     t0 = time.time()
-    state, metrics = train_step(state, db, key, jnp.float32(12.0))
+    lw = jnp.float32(12.0)
+    state, metrics = train_step(state, db, key, lw)
     float(metrics["total_loss"])
     print(f"# compile: {time.time() - t0:.0f}s", file=sys.stderr)
 
@@ -59,7 +60,7 @@ def main(batch_size: int = 2, backbone: str = "CSN-152",
         t0 = time.perf_counter()
         n = 5
         for _ in range(n):
-            state, metrics = train_step(state, db, key, jnp.float32(12.0))
+            state, metrics = train_step(state, db, key, lw)
         float(metrics["total_loss"])  # fetch = sync (state-chained steps)
         best = min(best, (time.perf_counter() - t0) / n)
     import json

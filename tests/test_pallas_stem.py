@@ -90,3 +90,51 @@ def test_stem_pooled_parity_224():
     assert got.shape == (1, 4, 56, 56, 64)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32), atol=6e-2)
+
+
+def test_train_two_phase_stem_matches_xla():
+    """Frozen-stem train path: the conv-stats pass + batch-affine fused
+    pass must reproduce XLA train-mode BN (conv output, batch statistics,
+    and the pooled output), stage-level."""
+    import jax
+    import jax.numpy as jnp
+    from tubelet_transformer_tpu.ops.pallas import stem as S
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (1, 2, 64, 256, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, .05, (3, 7, 7, 3, 64)), jnp.float32)
+    ones = jnp.ones((64,), jnp.float32)
+    zeros = jnp.zeros((64,), jnp.float32)
+
+    y_cm = S.stem_conv_bn_relu(x, w, ones, zeros, False)
+    y_ref = S._stem_xla(x, w, ones, zeros, relu=False)
+    rel = float(jnp.abs(y_cm - y_ref).max() / jnp.abs(y_ref).max())
+    assert rel < 5e-3, rel
+
+    def stats(y):
+        yf = y.astype(jnp.float32)
+        m = jnp.mean(yf, axis=(0, 1, 3, 4))
+        return m, jnp.mean(jnp.square(yf), axis=(0, 1, 3, 4)) - m ** 2
+
+    mean, var = stats(y_cm)
+    mean_r, var_r = stats(y_ref)
+    assert float(jnp.abs(mean - mean_r).max()) < 1e-3
+    assert float(jnp.abs(var - var_r).max()) < 5e-3
+
+    mul = jax.lax.rsqrt(var + 1e-3)
+    shift = -mean * mul
+    out = S.stem_forward(x, w, mul, shift)
+    out_ref = S._stem_xla(x, w, mul, shift, relu=True, pool=True)
+    rel = float(jnp.abs(out - out_ref).max() / jnp.abs(out_ref).max())
+    assert rel < 1e-2, rel
+
+
+def test_train_two_phase_dispatch(monkeypatch):
+    """The frozen-stem train path must dispatch (and update batch stats)
+    exactly when stem_train_supported holds and stop_grad_stage == 0."""
+    from tubelet_transformer_tpu.models import csn as csn_mod
+    from tubelet_transformer_tpu.ops.pallas.stem import stem_train_supported
+
+    assert not stem_train_supported((1, 4, 64, 224, 3))   # W' != 128
+    assert stem_train_supported((1, 4, 64, 256, 3)) == (
+        __import__("jax").default_backend() == "tpu")

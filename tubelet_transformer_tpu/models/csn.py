@@ -32,7 +32,8 @@ from tubelet_transformer_tpu.ops.pallas.bottleneck import (
 from tubelet_transformer_tpu.ops.pallas.depthwise import depthwise_conv3x3x3
 from tubelet_transformer_tpu.ops.pallas.stage import (
     bottleneck_chain, chain_supported, max_chain)
-from tubelet_transformer_tpu.ops.pallas.stem import stem_forward, stem_supported
+from tubelet_transformer_tpu.ops.pallas.stem import (
+    stem_conv_bn_relu, stem_forward, stem_supported, stem_train_supported)
 
 BN_EPS = 1e-3       # reference ir_CSN_152.py:15
 BN_MOMENTUM = 0.9   # flax momentum = 1 - torch momentum (torch bn_mmt = 0.1)
@@ -80,6 +81,18 @@ class _FoldableBN(nn.Module):
         """Inference-affine (scale', bias') with running stats folded in."""
         mul = self.scale * jax.lax.rsqrt(self.var.value + self.epsilon)
         return mul, self.bias - self.mean.value * mul
+
+    def batch_affine(self, mean, var):
+        """Train-affine from externally computed batch stats; also updates
+        the running statistics exactly like the train-mode ``__call__``."""
+        if not self.is_initializing() and self.is_mutable_collection(
+                "batch_stats"):
+            self.mean.value = (self.momentum * self.mean.value
+                               + (1 - self.momentum) * mean)
+            self.var.value = (self.momentum * self.var.value
+                              + (1 - self.momentum) * var)
+        mul = self.scale * jax.lax.rsqrt(var + self.epsilon)
+        return mul, self.bias - mean * mul
 
     def __call__(self, x, train: bool = False):
         if train:
@@ -258,6 +271,27 @@ class CSN(nn.Module):
             # reduce_window alone is ~4.7 ms; the kernel does it in ~4 ms).
             mul, shift = bn1.folded()
             x = stem_forward(x, conv1.kernel.astype(self.dtype), mul, shift)
+        elif (self.stem_kernel and train and self.stop_grad_stage >= 0
+              and stem_train_supported(x.shape)):
+            # Train with the reference fine-tune recipe (frozen stem,
+            # tune_point): two-phase fused stem. Phase 1 computes the bare
+            # conv (channels-mid) for the batch statistics; phase 2 reruns
+            # the fused conv+affine+ReLU+pool with the batch-stat BN folded
+            # in. 2x conv compute, but the kernel conv is cheap next to
+            # XLA's C_in=3 conv + reduce_window chain (7.5 -> ~3.5 ms at
+            # bs=2, train-step trace). The stem is frozen whenever any
+            # stop_grad boundary exists (stop_grad_stage >= 0 freezes the
+            # stem and everything up to that stage), so the kernels' VJPs
+            # never run.
+            wk = conv1.kernel.astype(self.dtype)
+            y_cm = stem_conv_bn_relu(
+                x, wk, jnp.ones((64,), jnp.float32),
+                jnp.zeros((64,), jnp.float32), False)
+            yf = y_cm.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=(0, 1, 3, 4))
+            var = jnp.mean(jnp.square(yf), axis=(0, 1, 3, 4)) - mean ** 2
+            mul, shift = bn1.batch_affine(mean, var)
+            x = stem_forward(x, wk, mul, shift)
         else:
             x = nn.relu(bn1(conv1(x), train=train))
             x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),

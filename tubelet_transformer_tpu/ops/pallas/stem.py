@@ -422,7 +422,9 @@ def stem_conv_bn_relu(x, w, scale, bias, relu=True):
     return _stem_pallas(x, w, scale, bias, relu)
 
 
-def _fwd(relu, x, w, scale, bias):
+def _fwd(x, w, scale, bias, relu):
+    # custom_vjp fwd receives args in their ORIGINAL positions (nondiff
+    # args are not moved to the front; only bwd gets them first).
     return stem_conv_bn_relu(x, w, scale, bias, relu), (x, w, scale, bias)
 
 
@@ -457,6 +459,12 @@ def _pbwd(res, g):
 
 
 stem_forward.defvjp(_pfwd, _pbwd)
+
+
+def stem_train_supported(x_shape) -> bool:
+    """Two-phase train path additionally needs the channels-mid conv pass,
+    which requires W' == 128 (full-lane rows): AVA 256-px inputs."""
+    return stem_supported(x_shape) and x_shape[3] // 2 == 128
 
 
 def stem_supported(x_shape) -> bool:

@@ -42,8 +42,12 @@ def train_one_epoch(cfg: Config, train_step, state, loader, mesh, rng,
                     epoch: int, writer: Optional[MetricsWriter] = None):
     """One training epoch (reference train_tuber_detection:77-220)."""
     loader.set_epoch(epoch)
-    loss_ce_w = (cfg.loss.loss_change_cof if epoch > cfg.loss.weight_change
-                 else cfg.loss.dice_cof)
+    # one device scalar for the whole epoch: a fresh jnp.float32 per step
+    # would re-dispatch a convert + transfer every iteration (~3 ms/step
+    # measured over the TPU relay)
+    loss_ce_w = jnp.float32(
+        cfg.loss.loss_change_cof if epoch > cfg.loss.weight_change
+        else cfg.loss.dice_cof)
     meters = {k: AverageMeter(k) for k in
               ("total_loss", "loss_ce", "loss_ce_b", "loss_bbox",
                "loss_giou", "class_error")}
@@ -57,8 +61,7 @@ def train_one_epoch(cfg: Config, train_step, state, loader, mesh, rng,
     for it, batch in enumerate(loader):
         data_time.update(time.time() - end)
         db = device_batch(batch, mesh)
-        state, metrics = train_step(state, db, rng,
-                                    jnp.float32(loss_ce_w))
+        state, metrics = train_step(state, db, rng, loss_ce_w)
         if (it + 1) % cfg.log.display_freq == 0 or it + 1 == n_batches:
             metrics = jax.device_get(metrics)  # sync point for logging only
             if not metrics["finite"]:
