@@ -34,7 +34,7 @@ def build_dataset(cfg: Config, split: str):
     if name == "synthetic":
         from tubelet_transformer_tpu.data.synthetic import SyntheticAVADataset
 
-        return SyntheticAVADataset(cfg, size=64)
+        return SyntheticAVADataset(cfg, size=cfg.data.synthetic_size)
     raise ValueError(f"unknown dataset {name!r}")
 
 
@@ -98,7 +98,18 @@ def run_training(cfg: Config) -> None:
     _check_supported(cfg)
     mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
     is_main = mesh_lib.is_main_process()
-    dirs = build_log_dir(cfg) if is_main else None
+    # Every process resolves the SAME run dir (orbax checkpointing is a
+    # collective: all hosts must join each save) — broadcast rank 0's stamp.
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        import numpy as np
+
+        stamp_num = multihost_utils.broadcast_one_to_all(
+            np.int64(int(time.strftime("%Y%m%d%H%M%S"))))
+        s = f"{int(stamp_num):014d}"
+        stamp = f"{s[:8]}_{s[8:]}"
+    dirs = build_log_dir(cfg, stamp=stamp)
     writer = MetricsWriter(dirs["tb"], enabled=True) if is_main else None
 
     train_loader, val_loader = make_loaders(cfg)
@@ -135,8 +146,10 @@ def run_training(cfg: Config) -> None:
     for epoch in range(start_epoch, cfg.train.epoch_num):
         state, _ = loop_lib.train_one_epoch(
             cfg, train_step, state, train_loader, mesh, rng, epoch, writer)
-        if is_main and (epoch % cfg.log.save_freq == 0
-                        or epoch == cfg.train.epoch_num - 1):
+        if (epoch % cfg.log.save_freq == 0
+                or epoch == cfg.train.epoch_num - 1):
+            # all processes participate (orbax save is a collective; the
+            # primary host writes the data)
             ckpt_lib.save_checkpoint(dirs["ckpt"], state, epoch, cfg=cfg)
         if epoch % cfg.val.freq == 0 or epoch == cfg.train.epoch_num - 1:
             _validate(cfg, eval_step, state, val_loader, mesh, epoch, writer)

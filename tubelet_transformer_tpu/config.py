@@ -65,6 +65,8 @@ class DataConfig:
     # this many entries with a validity mask (the reference carries ragged
     # per-sample lists; XLA needs fixed shapes).
     max_boxes: int = 32
+    # Sample count of the synthetic smoke dataset (tests / dry runs).
+    synthetic_size: int = 64
     # Static canvas override (0 = auto: (img_size, img_size*16/9) rounded).
     # The reference feeds variable aspect-preserving shapes; we pad to one
     # canvas for XLA. Set both to img_size for square-crop training.

@@ -44,9 +44,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch pytree onto the mesh, batch axis over 'data'."""
+    """Place a host batch pytree onto the mesh, batch axis over 'data'.
+
+    Single-process: a plain sharded device_put. Multi-host: each host's
+    loader feeds its own shard (batch_size x local chips — the reference's
+    per-GPU DDP batching), assembled into one global array per leaf."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
 
 
 def process_count() -> int:
@@ -70,3 +78,18 @@ def all_gather_host(x):
     from jax.experimental import multihost_utils
 
     return multihost_utils.process_allgather(x)
+
+
+def gather_global(x) -> np.ndarray:
+    """Full value of ``x`` on every host, as numpy.
+
+    ``x`` may be a globally-sharded jax.Array (batch over 'data' across
+    hosts — plain device_get cannot fetch non-addressable shards) or a
+    host-local numpy array (per-host loader fields like key indices):
+    both gather to the same global batch order (process-major, matching
+    make_array_from_process_local_data placement)."""
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

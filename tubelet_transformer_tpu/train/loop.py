@@ -121,11 +121,11 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
             "gt_valid": db["valid"],
             "key_idx": jnp.asarray(batch["key_idx"]),
         }
-        arrays = jax.device_get(arrays)
         for k, m in loss_meters.items():
             m.update(float(out["losses"][k]), batch["clips"].shape[0])
-        gathered = {k: mesh_lib.all_gather_host(v).reshape(
-            (-1,) + np.asarray(v).shape[1:]) for k, v in arrays.items()}
+        # full global batch on every host (multi-host: allgather; the
+        # model outputs are globally sharded and cannot be device_get)
+        gathered = {k: mesh_lib.gather_global(v) for k, v in arrays.items()}
         if not is_main:
             continue
 
@@ -205,15 +205,14 @@ def validate_ucf(cfg: Config, eval_step, state, loader, mesh, epoch: int,
     for batch in loader:
         db = device_batch(batch, mesh)
         out = eval_step(state, db)
-        arrays = jax.device_get({
+        arrays = {
             "scores": out["scores"], "boxes": out["boxes"],
             "sizes": db["sizes"], "key_pos": db["key_pos"],
             "gt_boxes": db["boxes"], "gt_labels": db["labels"],
             "gt_valid": db["valid"], "vis": db["vis"],
             "key_idx": jnp.asarray(batch["key_idx"]),
-        })
-        gathered = {k: mesh_lib.all_gather_host(v).reshape(
-            (-1,) + np.asarray(v).shape[1:]) for k, v in arrays.items()}
+        }
+        gathered = {k: mesh_lib.gather_global(v) for k, v in arrays.items()}
         if not is_main:
             continue
         b = gathered["scores"].shape[0]

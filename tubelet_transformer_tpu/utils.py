@@ -73,13 +73,14 @@ class MetricsWriter:
                 self._tb.close()
 
 
-def build_log_dir(cfg) -> Dict[str, str]:
+def build_log_dir(cfg, stamp: str = "") -> Dict[str, str]:
     """Timestamped experiment dir with tb/ckpt subdirs + resolved config dump
-    (reference utils/utils.py:28-50)."""
+    (reference utils/utils.py:28-50). Multi-host callers pass a shared
+    ``stamp`` so every process resolves the same run directory."""
     import dataclasses
     import datetime
 
-    stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    stamp = stamp or datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     exp_dir = os.path.join(cfg.log.base_path,
                            f"{cfg.log.exp_name}_{stamp}")
     tb_dir = os.path.join(exp_dir, cfg.log.log_dir)
