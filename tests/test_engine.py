@@ -182,3 +182,29 @@ def test_stop_gradient_prunes_frozen_stages():
     live_max = max(float(jnp.abs(g).max())
                    for g in jax.tree.leaves(bb["layer3_0"]))
     assert live_max > 0.0
+
+
+def test_spatial_parallel_matches_data_parallel(rng):
+    """DP x spatial-H sharding (clips' H axis over 'model'; GSPMD halo
+    exchanges for the 3D convs) must reproduce the pure-DP loss."""
+    from tubelet_transformer_tpu.parallel.sharding_rules import (
+        shard_train_state,
+    )
+
+    cfg = _tiny_cfg()
+    model = build_model(cfg)
+    batch = _fake_batch(rng, cfg, 8)
+
+    losses = {}
+    for name, (d, m, sp) in {"dp": (8, 1, False),
+                             "dp_sp": (4, 2, True)}.items():
+        mesh = mesh_lib.create_mesh(data=d, model=m)
+        db = mesh_lib.shard_batch(batch, mesh, spatial=sp)
+        state, tx, _ = engine.create_train_state(
+            cfg, model, jax.random.PRNGKey(0), batch, 10)
+        state = shard_train_state(state, mesh)
+        train_step = engine.make_train_step(cfg, model, tx)
+        _, metrics = train_step(state, db, jax.random.PRNGKey(1),
+                                jnp.float32(12.0))
+        losses[name] = float(metrics["total_loss"])
+    np.testing.assert_allclose(losses["dp"], losses["dp_sp"], rtol=1e-4)

@@ -182,6 +182,12 @@ class MeshConfig:
     DDP, pipelines/launch.py); here the mesh is declarative and extensible."""
     data: int = -1                   # -1: all devices on the 'data' axis
     model: int = 1                   # tensor-parallel axis size (attention heads / FFN)
+    # Spatial (sequence) parallelism: shard the clip H axis over 'model'
+    # for the backbone; GSPMD inserts collective-permute halo exchanges
+    # for the 3D convs (verified bit-exact vs DP). A TPU-native capability
+    # with no reference analog (SURVEY §5.7) — lets one clip span chips
+    # when activations (268 MB/clip at layer1) exceed a single chip.
+    spatial: bool = False
 
 
 @dataclass

@@ -43,18 +43,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Place a host batch pytree onto the mesh, batch axis over 'data'.
+def clip_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """Sharding for (B, T, H, W, C) clips: batch over 'data'; with
+    ``spatial``, also the H axis over 'model' (GSPMD emits
+    collective-permute halo exchanges for the convolutions)."""
+    if spatial and mesh.shape.get("model", 1) > 1:
+        return NamedSharding(mesh, P("data", None, "model"))
+    return batch_sharding(mesh)
+
+
+def shard_batch(batch, mesh: Mesh, spatial: bool = False):
+    """Place a host batch pytree onto the mesh, batch axis over 'data'
+    (clips additionally H-sharded over 'model' when ``spatial``).
 
     Single-process: a plain sharded device_put. Multi-host: each host's
     loader feeds its own shard (batch_size x local chips — the reference's
     per-GPU DDP batching), assembled into one global array per leaf."""
-    sh = batch_sharding(mesh)
+    def spec(k):
+        return clip_sharding(mesh, spatial) if k == "clips" \
+            else batch_sharding(mesh)
+
     if jax.process_count() == 1:
-        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
-        batch)
+        return {k: jax.device_put(v, spec(k)) for k, v in batch.items()}
+    return {k: jax.make_array_from_process_local_data(spec(k), np.asarray(v))
+            for k, v in batch.items()}
 
 
 def process_count() -> int:

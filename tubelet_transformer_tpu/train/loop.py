@@ -33,9 +33,9 @@ _DEVICE_KEYS = ("clips", "pad_mask", "boxes", "labels", "valid", "sizes",
                 "vis", "key_pos")
 
 
-def device_batch(batch: Dict, mesh) -> Dict:
+def device_batch(batch: Dict, mesh, spatial: bool = False) -> Dict:
     db = {k: v for k, v in batch.items() if k in _DEVICE_KEYS}
-    return mesh_lib.shard_batch(db, mesh)
+    return mesh_lib.shard_batch(db, mesh, spatial=spatial)
 
 
 def train_one_epoch(cfg: Config, train_step, state, loader, mesh, rng,
@@ -60,7 +60,7 @@ def train_one_epoch(cfg: Config, train_step, state, loader, mesh, rng,
     metrics = {}
     for it, batch in enumerate(loader):
         data_time.update(time.time() - end)
-        db = device_batch(batch, mesh)
+        db = device_batch(batch, mesh, cfg.mesh.spatial)
         state, metrics = train_step(state, db, rng, loss_ce_w)
         if (it + 1) % cfg.log.display_freq == 0 or it + 1 == n_batches:
             metrics = jax.device_get(metrics)  # sync point for logging only
@@ -112,7 +112,7 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
     dump_rows = []
 
     for batch in loader:
-        db = device_batch(batch, mesh)
+        db = device_batch(batch, mesh, cfg.mesh.spatial)
         out = eval_step(state, db)
         arrays = {
             "scores": out["scores"], "boxes": out["boxes"],
@@ -203,7 +203,7 @@ def validate_ucf(cfg: Config, eval_step, state, loader, mesh, epoch: int,
                   if do_video else None)
 
     for batch in loader:
-        db = device_batch(batch, mesh)
+        db = device_batch(batch, mesh, cfg.mesh.spatial)
         out = eval_step(state, db)
         arrays = {
             "scores": out["scores"], "boxes": out["boxes"],
