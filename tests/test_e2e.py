@@ -102,3 +102,29 @@ def test_two_stream_guard(tmp_path):
     cfg.two_stream = True
     with pytest.raises(NotImplementedError, match="TWO_STREAM"):
         runner.run_training(cfg)
+
+
+def test_preemption_checkpoints_and_stops(tmp_path):
+    """SIGTERM mid-training checkpoints at the next epoch boundary and
+    stops (graceful preemption; the reference just dies, SURVEY §5.3)."""
+    import glob
+    import os
+    import signal
+    import threading
+
+    cfg = _smoke_cfg(tmp_path)
+    cfg.train.epoch_num = 50          # would run ~forever without preemption
+    cfg.val.freq = 1000               # validation never fires
+    cfg.log.save_freq = 1000          # only the preemption saves
+
+    timer = threading.Timer(3.0, os.kill, (os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        runner.run_training(cfg)
+    finally:
+        timer.cancel()
+    ckpts = glob.glob(str(tmp_path / "*" / "checkpoints" / "ckpt_epoch_*"))
+    assert ckpts, "preemption did not write a checkpoint"
+    # far fewer than 50 epochs ran
+    epochs = sorted(int(c.rsplit("_", 1)[1]) for c in ckpts)
+    assert epochs[-1] < 49

@@ -96,6 +96,25 @@ def _check_supported(cfg: Config) -> None:
 
 def run_training(cfg: Config) -> None:
     _check_supported(cfg)
+    # Graceful-preemption handling (the reference has none — it exits(1) on
+    # any trouble, SURVEY §5.3): SIGTERM/SIGINT request a checkpoint at the
+    # next epoch boundary; a resumed run continues from it (MODEL.LOAD).
+    # Installed first so a signal during the (minutes-long) compile phase
+    # is not fatal.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _request_stop(signum, frame):
+        preempted["flag"] = True
+        print(f"signal {signum}: will checkpoint and stop at the next "
+              "epoch boundary", flush=True)
+
+    prev_handlers = {
+        s: signal.signal(s, _request_stop)
+        for s in (signal.SIGTERM, signal.SIGINT)
+    }
+
     mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
     is_main = mesh_lib.is_main_process()
     # Every process resolves the SAME run dir (orbax checkpointing is a
@@ -143,18 +162,27 @@ def run_training(cfg: Config) -> None:
     print(f"Start training on {jax.device_count()} devices "
           f"({jax.process_count()} hosts), {steps_per_epoch} steps/epoch")
     t0 = time.time()
-    for epoch in range(start_epoch, cfg.train.epoch_num):
-        state, _ = loop_lib.train_one_epoch(
-            cfg, train_step, state, train_loader, mesh, rng, epoch, writer)
-        if (epoch % cfg.log.save_freq == 0
-                or epoch == cfg.train.epoch_num - 1):
-            # all processes participate (orbax save is a collective; the
-            # primary host writes the data)
-            ckpt_lib.save_checkpoint(dirs["ckpt"], state, epoch, cfg=cfg)
-        if epoch % cfg.val.freq == 0 or epoch == cfg.train.epoch_num - 1:
-            _validate(cfg, eval_step, state, val_loader, mesh, epoch, writer)
-    if writer:
-        writer.close()
+    try:
+        for epoch in range(start_epoch, cfg.train.epoch_num):
+            state, _ = loop_lib.train_one_epoch(
+                cfg, train_step, state, train_loader, mesh, rng, epoch,
+                writer)
+            if (preempted["flag"] or epoch % cfg.log.save_freq == 0
+                    or epoch == cfg.train.epoch_num - 1):
+                # all processes participate (orbax save is a collective;
+                # the primary host writes the data)
+                ckpt_lib.save_checkpoint(dirs["ckpt"], state, epoch, cfg=cfg)
+            if preempted["flag"]:
+                print(f"preempted: checkpointed epoch {epoch}, exiting")
+                break
+            if epoch % cfg.val.freq == 0 or epoch == cfg.train.epoch_num - 1:
+                _validate(cfg, eval_step, state, val_loader, mesh, epoch,
+                          writer)
+    finally:
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
+        if writer:
+            writer.close()
     print(f"Training time {time.time() - t0:.0f}s")
 
 

@@ -43,6 +43,11 @@ class ValConfig:
     batch_size: int = 1
     freq: int = 2
     put_gt: bool = False
+    # Compute criterion losses during validation (the reference logs them,
+    # video_action_recognition.py:303-305). mAP needs only the postprocess;
+    # turning this off roughly halves eval-step cost (the 6 aux-layer
+    # matchings + loss terms are ~10 ms of the 28 ms bs=4 eval step).
+    compute_losses: bool = True
 
 
 @dataclass

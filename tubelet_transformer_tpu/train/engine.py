@@ -145,7 +145,9 @@ def make_train_step(cfg: Config, model, tx):
 
 
 def make_eval_step(cfg: Config, model):
-    """Jitted eval step: forward + losses + on-device postprocess."""
+    """Jitted eval step: forward + on-device postprocess, plus criterion
+    losses for logging unless VAL.COMPUTE_LOSSES is off (mAP needs only
+    the postprocess; skipping losses roughly halves the step)."""
     postprocess = (postprocess_ava if is_ava_mode(cfg)
                    else postprocess_softmax)
 
@@ -154,8 +156,13 @@ def make_eval_step(cfg: Config, model):
             {"params": state.params, "batch_stats": state.batch_stats},
             device_preprocess(batch["clips"]), batch.get("pad_mask"),
             train=False)
-        targets = _targets_from_batch(cfg, batch)
-        loss_dict = compute_losses(cfg, outputs, targets, evaluation=True)
+        if cfg.val.compute_losses:
+            targets = _targets_from_batch(cfg, batch)
+            loss_dict = compute_losses(cfg, outputs, targets,
+                                       evaluation=True)
+        else:
+            loss_dict = {k: jnp.float32(0.0) for k in
+                         ("loss_ce", "loss_ce_b", "loss_bbox", "loss_giou")}
         scores, boxes, binary = postprocess(outputs, batch["sizes"])
         return {"scores": scores, "boxes": boxes, "binary": binary,
                 "losses": loss_dict}
