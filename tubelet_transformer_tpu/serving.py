@@ -24,6 +24,12 @@ A detection for video time t is emitted once the clip window centered at t
 is complete — i.e. with an inherent delay of half a clip
 (TEMP_LEN/2 * FRAME_RATE raw frames), matching the reference's keyframe-
 centered clip semantics (ava_frame.py:43).
+
+Measured (flagship CSN-152, 256 px, T=32, one v5e chip behind a network
+relay): 191 ms steady-state per keyframe, dominated by the 6.3 MB uint8
+clip upload over the relay link — the on-chip forward is ~5 ms, so a
+locally attached chip serves at ~10 ms/keyframe. All outputs come back in
+one host fetch (four separate fetches cost ~4x the relay RTT).
 """
 
 from __future__ import annotations
@@ -235,12 +241,13 @@ class StreamingDetector:
             mmask = np.ones((1, l0), bool)
             mem_size = 0
 
-        scores, boxes, binary, feats = self._detect(
-            self.variables, clip, pad, mem, mmask)
-        scores = np.asarray(scores)[0]
-        boxes = np.asarray(boxes)[0]
-        binary = np.asarray(binary)[0, :, 0]
-        feats = np.asarray(feats)[0]
+        # one host fetch for all outputs: each np.asarray is its own
+        # device round trip (~30 ms each over a TPU relay)
+        scores, boxes, binary, feats = jax.device_get(
+            self._detect(self.variables, clip, pad, mem, mmask))
+        scores, boxes = scores[0], boxes[0]
+        binary = binary[0, :, 0]
+        feats = feats[0]
 
         if self.memory is not None:
             self.memory.push(feats, binary, self.actor_threshold)
