@@ -111,7 +111,8 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
                    ("loss_ce", "loss_ce_b", "loss_bbox", "loss_giou")}
     dump_rows = []
 
-    for batch in loader:
+    def submit(batch):
+        """Dispatch the (async) device work for one batch."""
         db = device_batch(batch, mesh, cfg.mesh.spatial)
         out = eval_step(state, db)
         arrays = {
@@ -121,14 +122,19 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
             "gt_valid": db["valid"],
             "key_idx": jnp.asarray(batch["key_idx"]),
         }
+        return out, arrays, batch["clips"].shape[0]
+
+    def consume(out, arrays, bs):
         for k, m in loss_meters.items():
-            m.update(float(out["losses"][k]), batch["clips"].shape[0])
+            m.update(float(out["losses"][k]), bs)
         # full global batch on every host (multi-host: allgather; the
         # model outputs are globally sharded and cannot be device_get)
         gathered = {k: mesh_lib.gather_global(v) for k, v in arrays.items()}
         if not is_main:
-            continue
+            return
+        _accumulate(gathered)
 
+    def _accumulate(gathered):
         b = gathered["scores"].shape[0]
         for i in range(b):
             idx = int(gathered["key_idx"][i])
@@ -157,6 +163,18 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
                     dump_rows.append((image_key, list(det_boxes[q]) +
                                       list(gathered["scores"][i][q]) +
                                       [gathered["binary"][i][q, 0]]))
+
+    # 1-deep software pipeline: the next batch's device work is dispatched
+    # before the current results are fetched and fed to the (numpy)
+    # evaluator, so the chip never waits for the host accumulation.
+    pending = None
+    for batch in loader:
+        cur = submit(batch)
+        if pending is not None:
+            consume(*pending)
+        pending = cur
+    if pending is not None:
+        consume(*pending)
 
     result: Dict[str, float] = {k: m.avg for k, m in loss_meters.items()}
     if is_main:
@@ -202,19 +220,24 @@ def validate_ucf(cfg: Config, eval_step, state, loader, mesh, epoch: int,
     video_eval = (VideoMAPEvaluator(n_cls, video_map_thresholds)
                   if do_video else None)
 
-    for batch in loader:
+    def submit(batch):
         db = device_batch(batch, mesh, cfg.mesh.spatial)
         out = eval_step(state, db)
-        arrays = {
+        return {
             "scores": out["scores"], "boxes": out["boxes"],
             "sizes": db["sizes"], "key_pos": db["key_pos"],
             "gt_boxes": db["boxes"], "gt_labels": db["labels"],
             "gt_valid": db["valid"], "vis": db["vis"],
             "key_idx": jnp.asarray(batch["key_idx"]),
         }
+
+    def consume(arrays):
         gathered = {k: mesh_lib.gather_global(v) for k, v in arrays.items()}
         if not is_main:
-            continue
+            return
+        _accumulate(gathered)
+
+    def _accumulate(gathered):
         b = gathered["scores"].shape[0]
         for i in range(b):
             idx = int(gathered["key_idx"][i])
@@ -252,6 +275,17 @@ def validate_ucf(cfg: Config, eval_step, state, loader, mesh, epoch: int,
                 onehot[np.arange(len(gb)),
                        gathered["gt_labels"][i][gv]] = 1.0
                 evaluator.add_ground_truth(image_key, gxyxy, onehot)
+
+    # 1-deep pipeline (see validate_ava): overlap device work with the
+    # host-side evaluator accumulation
+    pending = None
+    for batch in loader:
+        cur = submit(batch)
+        if pending is not None:
+            consume(pending)
+        pending = cur
+    if pending is not None:
+        consume(pending)
 
     result: Dict[str, float] = {}
     if is_main:
