@@ -208,3 +208,29 @@ def test_spatial_parallel_matches_data_parallel(rng):
                                 jnp.float32(12.0))
         losses[name] = float(metrics["total_loss"])
     np.testing.assert_allclose(losses["dp"], losses["dp_sp"], rtol=1e-4)
+
+
+def test_remat_backbone_same_grads(rng):
+    """TRAIN.REMAT_BACKBONE recomputes activations in the backward —
+    gradients must be identical to the non-remat path."""
+    import jax
+
+    cfg = _tiny_cfg()
+    batch = _fake_batch(rng, cfg, 2)
+
+    grads = {}
+    for name, flag in {"plain": False, "remat": True}.items():
+        cfg.train.remat_backbone = flag
+        model = build_model(cfg)
+        state, tx, _ = engine.create_train_state(
+            cfg, model, jax.random.PRNGKey(0), batch, 10)
+        train_step = engine.make_train_step(cfg, model, tx)
+        db = {k: jnp.asarray(v) for k, v in batch.items()
+              if not isinstance(v, list)}
+        new_state, metrics = train_step(state, db, jax.random.PRNGKey(1),
+                                        jnp.float32(12.0))
+        grads[name] = float(metrics["total_loss"])
+        leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+        grads[name + "_p"] = np.asarray(leaf).sum()
+    np.testing.assert_allclose(grads["plain"], grads["remat"], rtol=1e-6)
+    np.testing.assert_allclose(grads["plain_p"], grads["remat_p"], rtol=1e-6)

@@ -36,6 +36,12 @@ class TrainConfig:
     optimizer_name: str = "ADAMW"    # reference entry points always build AdamW
     aux_loss: bool = True
     seed: int = 0
+    # Activation rematerialization for full-backprop training: each CSN
+    # bottleneck recomputes its activations in the backward instead of
+    # keeping them (jax.checkpoint), trading ~1/3 extra forward FLOPs for
+    # a large cut in peak HBM — enables bigger batches when not using the
+    # frozen-backbone recipe. No numerical change.
+    remat_backbone: bool = False
 
 
 @dataclass

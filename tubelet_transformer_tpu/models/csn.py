@@ -257,6 +257,7 @@ class CSN(nn.Module):
     stem_kernel: bool = True
     fused_blocks: bool = False
     fused_stages: bool = False
+    remat: bool = False         # TRAIN.REMAT_BACKBONE: checkpoint each block
     stop_grad_stage: int = -1   # train/optimizer.stop_grad_stage(cfg)
     dtype: jnp.dtype = jnp.float32
 
@@ -312,7 +313,12 @@ class CSN(nn.Module):
                 stride, tstride = (2 if self.last_stride else 1), 2
             else:
                 stride, tstride = 2, 2
-            mods = [CSNBottleneck(
+            # Activation remat: recompute each bottleneck in the backward
+            # instead of storing its activations (train-time, full-backprop
+            # memory relief; numerically identical).
+            block_cls = (nn.remat(CSNBottleneck, static_argnums=(2,))
+                         if (self.remat and train) else CSNBottleneck)
+            mods = [block_cls(
                 in_planes=in_planes if b == 0 else planes * 4,
                 planes=planes,
                 stride=stride if b == 0 else 1,
@@ -325,7 +331,7 @@ class CSN(nn.Module):
                 name=f"layer{s + 1}_{b}",
             ) for b in range(blocks)]
 
-            x = mods[0](x, train=train)
+            x = mods[0](x, train)
             if (self.fused_stages and not train and blocks > 1
                     and chain_supported(x.shape, planes)):
                 # identity tail of the stage as pipelined chain kernels: one
@@ -341,7 +347,7 @@ class CSN(nn.Module):
                     b += g
             else:
                 for mod in mods[1:]:
-                    x = mod(x, train=train)
+                    x = mod(x, train)
             in_planes = planes * 4
             if train and self.stop_grad_stage == s + 1:
                 x = jax.lax.stop_gradient(x)
@@ -351,11 +357,11 @@ class CSN(nn.Module):
 def build_csn(backbone_name: str, last_stride: bool, dtype=jnp.float32,
               use_pallas: bool = False, stem_kernel: bool = True,
               fused_blocks: bool = False, fused_stages: bool = False,
-              stop_grad_stage: int = -1) -> CSN:
+              remat: bool = False, stop_grad_stage: int = -1) -> CSN:
     if backbone_name not in BLOCK_NUMS:
         raise ValueError(f"unknown backbone {backbone_name!r}; "
                          f"supported: {sorted(BLOCK_NUMS)}")
     return CSN(block_nums=BLOCK_NUMS[backbone_name], last_stride=last_stride,
                use_pallas=use_pallas, stem_kernel=stem_kernel,
                fused_blocks=fused_blocks, fused_stages=fused_stages,
-               stop_grad_stage=stop_grad_stage, dtype=dtype)
+               remat=remat, stop_grad_stage=stop_grad_stage, dtype=dtype)

@@ -76,6 +76,7 @@ class TubeR(nn.Module):
     stem_kernel: bool = True
     fused_blocks: bool = False
     fused_stages: bool = False
+    remat_backbone: bool = False
     stop_grad_stage: int = -1
     use_lfb: bool = False
     generate_lfb: bool = False
@@ -88,6 +89,7 @@ class TubeR(nn.Module):
                                   stem_kernel=self.stem_kernel,
                                   fused_blocks=self.fused_blocks,
                                   fused_stages=self.fused_stages,
+                                  remat=self.remat_backbone,
                                   stop_grad_stage=self.stop_grad_stage)
         self.transformer = Transformer(
             d_model=self.hidden_dim, nhead=self.nhead,
@@ -305,6 +307,7 @@ def build_model(cfg: Config) -> TubeR:
         stem_kernel=cfg.model.stem_kernel,
         fused_blocks=cfg.model.fused_blocks,
         fused_stages=cfg.model.fused_stages,
+        remat_backbone=cfg.train.remat_backbone,
         stop_grad_stage=stop_grad_stage(cfg),
         use_lfb=cfg.use_lfb,
         generate_lfb=cfg.model.generate_lfb,
