@@ -47,6 +47,13 @@ class AVADetectionEvaluator:
         self.iou_thresholds = list(iou_thresholds)
         self._evals = [PascalMAPEvaluator(self.class_ids, t)
                        for t in self.iou_thresholds]
+        # whitelist mask over class columns (AVA-80: labelmap subset)
+        cids = np.arange(1, class_num + 1)
+        if class_num == 80:
+            self._col_mask = np.isin(cids, np.asarray(self.class_ids))
+        else:
+            self._col_mask = np.ones(class_num, bool)
+        self._col_ids = cids[self._col_mask]
 
     # -- array API (collective-gathered eval path) --------------------------
 
@@ -55,38 +62,28 @@ class AVADetectionEvaluator:
         """boxes (n, 4) absolute xyxy; label_multihot (n, C) in {0,1}."""
         if image_key in self.exclude_keys:
             return
-        all_boxes, all_classes = [], []
-        for i in range(boxes.shape[0]):
-            for x in np.nonzero(label_multihot[i] > 1e-2)[0]:
-                cid = int(x) + 1
-                if self.class_num != 80 or cid in set(self.class_ids):
-                    all_boxes.append(boxes[i])
-                    all_classes.append(cid)
-        if not all_boxes:
+        hot = np.asarray(label_multihot) > 1e-2
+        hot &= self._col_mask[None, : hot.shape[1]]
+        rows, cols = np.nonzero(hot)
+        if rows.size == 0:
             return
         for ev in self._evals:
-            ev.add_ground_truth(image_key, np.stack(all_boxes),
-                                np.array(all_classes, int))
+            ev.add_ground_truth(image_key, np.asarray(boxes)[rows],
+                                cols.astype(int) + 1)
 
     def add_detections(self, image_key: str, boxes: np.ndarray,
                        scores: np.ndarray) -> None:
         """boxes (q, 4) absolute xyxy; scores (q, C) gated class scores."""
         if image_key in self.exclude_keys:
             return
-        all_boxes, all_classes, all_scores = [], [], []
-        for i in range(boxes.shape[0]):
-            for x in range(scores.shape[1]):
-                cid = x + 1
-                if self.class_num != 80 or cid in set(self.class_ids):
-                    all_boxes.append(boxes[i])
-                    all_classes.append(cid)
-                    all_scores.append(scores[i, x])
-        if not all_boxes:
+        boxes = np.asarray(boxes)
+        scores = np.asarray(scores)
+        m = self._col_mask[: scores.shape[1]]
+        if not m.any() or boxes.shape[0] == 0:
             return
+        sel = scores[:, m]
         for ev in self._evals:
-            ev.add_detections(image_key, np.stack(all_boxes),
-                              np.array(all_classes, int),
-                              np.array(all_scores, float))
+            ev.add_detections_matrix(image_key, boxes, sel)
 
     def evaluate(self) -> Tuple[List[float], Dict]:
         maps, result = [], {}
