@@ -232,6 +232,9 @@ def main(mode: str, default_dataset: str) -> None:
     parser.add_argument("--config-file", default=None,
                         help="path to a YAML config (reference format OK)")
     args = parser.parse_args()
+    from tubelet_transformer_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     cfg = load_config(args.config_file)
     if not args.config_file:
         cfg.data.dataset_name = default_dataset

@@ -54,6 +54,9 @@ def main() -> None:
                         help="action classes reported per detection")
     args = parser.parse_args()
 
+    from tubelet_transformer_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     cfg = load_config(args.config_file)
     variables = None
     if cfg.model.load and cfg.model.pretrained_path:

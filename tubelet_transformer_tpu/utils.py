@@ -12,6 +12,19 @@ import time
 from typing import Dict
 
 
+def enable_compile_cache(path: str = "") -> None:
+    """Turn on JAX's persistent compilation cache (CLI entry points call
+    this): repeat runs skip the minutes-long remote-TPU compiles. Honors
+    JAX_COMPILATION_CACHE_DIR; defaults to a user cache dir."""
+    import jax
+
+    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.expanduser("~/.cache/tuber_tpu_jax"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 class AverageMeter:
     """Running average (reference utils/utils.py:53-69)."""
 
