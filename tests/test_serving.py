@@ -73,3 +73,42 @@ def test_flush_pads_short_buffer():
         assert det.push_frame(f) is None
     res = det.flush()
     assert res is not None and res.latency_ms > 0
+
+
+def test_pool_batches_streams_and_matches_single():
+    """The multi-stream pool must produce the same detections as a
+    standalone detector fed the same frames (padded batching is invisible),
+    with independent per-stream windows."""
+    from tubelet_transformer_tpu.serving import StreamingDetectorPool
+
+    cfg = _cfg()
+    single = StreamingDetector(cfg, fps=8.0, detect_every=8)
+    pool = StreamingDetectorPool(cfg, single.variables, fps=8.0,
+                                 detect_every=8, max_batch=4)
+
+    frames_a = _frames(24, seed=1)
+    frames_b = _frames(24, h=32, w=48, seed=2)   # different geometry
+    singles = []
+    for f in frames_a:
+        r = single.push_frame(f)
+        if r:
+            singles.append(r)
+
+    pooled = []
+    for fa, fb in zip(frames_a, frames_b):
+        pool.push_frame("a", fa)
+        pool.push_frame("b", fb)
+        out = pool.step()
+        if "a" in out:
+            pooled.append(out["a"])
+        if "b" in out:
+            # stream b fires too and has its own geometry
+            assert out["b"].detections is not None
+
+    assert len(pooled) == len(singles) == 2
+    for rs, rp in zip(singles, pooled):
+        assert rs.frame_index == rp.frame_index
+        assert len(rs.detections) == len(rp.detections)
+        for ds, dp in zip(rs.detections, rp.detections):
+            np.testing.assert_allclose(ds.box, dp.box, atol=1e-3)
+            np.testing.assert_allclose(ds.scores, dp.scores, atol=1e-4)

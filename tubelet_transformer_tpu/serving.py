@@ -38,7 +38,7 @@ import functools
 import time
 from collections import deque
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -272,3 +272,121 @@ class StreamingDetector:
             latency_ms=(time.perf_counter() - t0) * 1e3,
             memory_size=mem_size,
         )
+
+
+class StreamingDetectorPool:
+    """Multi-stream serving: many concurrent video streams share one model,
+    and all streams whose keyframe is due are detected in ONE padded batched
+    forward (compiled per power-of-two bucket, so at most log2(max_batch)
+    programs exist).
+
+    Usage: ``push_frame(stream_id, frame)`` per stream per tick, then
+    ``step()`` — returns ``{stream_id: KeyframeResult}`` for every stream
+    that fired. Per-stream rolling clip windows and (with ``cfg.use_lfb``)
+    per-stream long-term memories are kept independently.
+    """
+
+    def __init__(self, cfg: Config, variables=None, *, max_batch: int = 8,
+                 detect_every: Optional[int] = None, fps: float = 30.0,
+                 memory_keyframes: int = 10, memory_slots: int = 5,
+                 actor_threshold: float = 0.8, rng_seed: int = 0):
+        self.max_batch = max_batch
+        # template detector owns the model/variables and the prep logic
+        self._tpl = StreamingDetector(
+            cfg, variables, detect_every=detect_every, fps=fps,
+            memory_keyframes=memory_keyframes, memory_slots=memory_slots,
+            actor_threshold=actor_threshold, rng_seed=rng_seed)
+        self._mk = (memory_keyframes, memory_slots)
+        self._streams: Dict = {}
+
+    def _stream(self, sid):
+        if sid not in self._streams:
+            t = self._tpl
+            s = StreamingDetector.__new__(StreamingDetector)
+            s.__dict__.update(t.__dict__)      # share model/jit/config
+            s._frames = deque(maxlen=t.t_len * t.stride)
+            s._frame_count = 0
+            s._since_detect = 0
+            s._src_hw = None
+            s._scale = 1.0
+            s.memory = (_Memory(self._mk[1], self._mk[0],
+                                t.cfg.model.d_model)
+                        if t.memory is not None else None)
+            self._streams[sid] = s
+        return self._streams[sid]
+
+    def push_frame(self, sid, frame: np.ndarray) -> None:
+        """Feed one frame of one stream (no detection yet; see step())."""
+        s = self._stream(sid)
+        s._frames.append(s._prep_frame(frame))
+        s._frame_count += 1
+        s._since_detect += 1
+
+    def _due(self):
+        out = []
+        for sid, s in self._streams.items():
+            window = s.t_len * s.stride
+            if (len(s._frames) >= window
+                    and s._since_detect >= s.detect_every):
+                out.append(sid)
+        return out
+
+    def step(self) -> Dict:
+        """Run one padded batched detection over all due streams."""
+        due = self._due()
+        if not due:
+            return {}
+        results: Dict = {}
+        t = self._tpl
+        for chunk_start in range(0, len(due), self.max_batch):
+            chunk = due[chunk_start:chunk_start + self.max_batch]
+            n = len(chunk)
+            bucket = 1
+            while bucket < n:
+                bucket *= 2
+            clips, pads, mems, mmasks = [], [], [], []
+            for sid in chunk:
+                s = self._streams[sid]
+                s._since_detect = 0
+                clips.append(np.stack(list(s._frames)[:: s.stride]))
+                nh, nw = s._valid_hw
+                p = np.ones((t.img_size, t.img_size), bool)
+                p[:nh, :nw] = False
+                pads.append(p)
+                if s.memory is not None:
+                    f, m = s.memory.window()
+                else:
+                    f = np.zeros((1, t.cfg.model.d_model), np.float32)
+                    m = np.ones((1,), bool)
+                mems.append(f)
+                mmasks.append(m)
+            pad_n = bucket - n
+            if pad_n:
+                clips += [np.zeros_like(clips[0])] * pad_n
+                pads += [pads[0]] * pad_n
+                mems += [mems[0]] * pad_n
+                mmasks += [mmasks[0]] * pad_n
+            t0 = time.perf_counter()
+            scores, boxes, binary, feats = jax.device_get(t._detect(
+                t.variables, np.stack(clips), np.stack(pads),
+                np.stack(mems), np.stack(mmasks)))
+            lat = (time.perf_counter() - t0) * 1e3
+            for i, sid in enumerate(chunk):
+                s = self._streams[sid]
+                bin_i = binary[i, :, 0]
+                if s.memory is not None:
+                    s.memory.push(feats[i], bin_i, s.actor_threshold)
+                b = boxes[i] / s._scale
+                sh, sw = s._src_hw
+                b = np.clip(b, 0, [sw, sh, sw, sh])
+                dets = [Detection(box=b[q], actor_prob=float(bin_i[q]),
+                                  scores=scores[i][q])
+                        for q in range(len(bin_i))
+                        if bin_i[q] > s.actor_threshold]
+                key_idx = s._frame_count - s.t_len * s.stride // 2
+                results[sid] = KeyframeResult(
+                    frame_index=key_idx, time_s=key_idx / s.fps,
+                    detections=dets, latency_ms=lat,
+                    memory_size=int((~np.asarray(mmasks[i])).sum()
+                                    if s.memory is not None else 0))
+        return results
