@@ -124,6 +124,52 @@ def test_jhmdb_dataset(tmp_path, rng):
     assert s["valid"].sum() == 1
 
 
+def test_device_preprocess_dtype_survives(tmp_path, rng):
+    """Regression (round-1 bug): with cfg.data.device_preprocess=True (the
+    default), _finalize cast clips to float32, and device_preprocess()
+    no-ops on float input — so the model saw unnormalized [0,255] pixels.
+    The clip must stay uint8 end-to-end on the host, and the in-jit
+    preprocessing must then match the host normalize_clip exactly."""
+    from tubelet_transformer_tpu.data import transforms as T
+    from tubelet_transformer_tpu.data.device_preprocess import (
+        device_preprocess,
+    )
+
+    _make_ava_fixture(tmp_path, rng)
+    cfg = _cfg(tmp_path)
+    assert cfg.data.device_preprocess, "default config must use device mode"
+
+    for ds in (AVADataset(cfg, "val"),
+               JHMDBDataset(_jhmdb_cfg_with_fixture(tmp_path, rng), "val")):
+        s = ds.get(0, rng)
+        assert s["clips"].dtype == np.uint8, type(ds).__name__
+
+    ds = AVADataset(cfg, "val")
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=1,
+                        rank=0, world=1)
+    b = next(iter(loader))
+    assert b["clips"].dtype == np.uint8  # uint8 crosses the collate too
+
+    out = np.asarray(device_preprocess(b["clips"]))
+    ref, _ = T.normalize_clip(np.asarray(b["clips"][0]),
+                              np.zeros((0, 4), np.float32))
+    np.testing.assert_allclose(out[0], ref, atol=1e-4)
+    assert np.abs(out).max() < 10  # nowhere near raw [0,255] pixels
+
+    # host mode still ships ready-normalized float32
+    cfg.data.device_preprocess = False
+    s = AVADataset(cfg, "val").get(0, rng)
+    assert s["clips"].dtype == np.float32
+    assert np.abs(s["clips"]).max() < 10
+
+
+def _jhmdb_cfg_with_fixture(tmp_path, rng):
+    root = tmp_path / "jhmdb"
+    root.mkdir(exist_ok=True)
+    _make_jhmdb_fixture(root, rng)
+    return _cfg(root, dataset="jhmdb")
+
+
 def test_synthetic_dataset(rng):
     cfg = Config()
     cfg.data.img_size = 32

@@ -175,8 +175,12 @@ class AVADataset:
         pad_boxes, pad_labels, valid = T.pad_targets(
             boxes, labels, self.max_boxes, multilabel=True,
             num_classes=self.num_classes)
+        # uint8 survives (device_preprocess mode): the photometric stage runs
+        # in-jit and device_preprocess() no-ops on float input, so casting
+        # here would ship unnormalized [0,255] floats straight to the model.
         return {
-            "clips": padded.astype(np.float32),
+            "clips": padded if padded.dtype == np.uint8
+            else padded.astype(np.float32),
             "pad_mask": mask,
             "boxes": pad_boxes,
             "labels": pad_labels,

@@ -134,7 +134,9 @@ class JHMDBDataset:
             boxes, labels, self.max_boxes, multilabel=False,
             num_classes=self.num_classes)
         return {
-            "clips": padded.astype(np.float32),
+            # uint8 survives in device_preprocess mode (see data/ava.py).
+            "clips": padded if padded.dtype == np.uint8
+            else padded.astype(np.float32),
             "pad_mask": mask,
             "boxes": pad_boxes,
             "labels": pad_labels,
