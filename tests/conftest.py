@@ -22,6 +22,23 @@ if os.environ.get("TUBER_TEST_TPU") != "1":
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Modules whose tests run multi-minute on a single core: real 2-process
+# multihost runs, e2e training loops, the composed torch-vs-jax pipeline,
+# and the DPxTPxSP engine parity sweeps. `pytest -m "not slow"` (or
+# `make test-fast`) skips them; run `make test-all` for the full suite.
+SLOW_MODULES = {
+    "test_multihost",
+    "test_e2e",
+    "test_engine",
+    "test_composed_pipeline",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

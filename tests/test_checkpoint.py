@@ -62,6 +62,27 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ckpt_lib.latest_checkpoint(str(tmp_path / "ck")) == path
 
 
+def test_resume_scoped_to_exp_name(tmp_path):
+    """Two experiments sharing one BASE_PATH must not cross-resume: the
+    search is scoped to this experiment's own ``{exp_name}_{stamp}`` dirs."""
+    base = tmp_path
+    for exp, epoch in (("expA", 7), ("expB", 9)):
+        d = base / f"{exp}_20260101_000000" / "checkpoints"
+        d.mkdir(parents=True)
+        (d / f"ckpt_epoch_{epoch}").mkdir()
+
+    got = ckpt_lib.latest_checkpoint_any_run(str(base), exp_name="expA")
+    assert got and "expA_" in got and got.endswith("ckpt_epoch_7")
+    got = ckpt_lib.latest_checkpoint_any_run(str(base), exp_name="expB")
+    assert got and got.endswith("ckpt_epoch_9")
+    # no runs for this experiment -> no resume, even though siblings exist
+    assert ckpt_lib.latest_checkpoint_any_run(str(base),
+                                              exp_name="expC") is None
+    # unscoped search (legacy behavior) still sees everything
+    got = ckpt_lib.latest_checkpoint_any_run(str(base))
+    assert got and got.endswith("ckpt_epoch_9")
+
+
 def test_detr_seed(tmp_path):
     """COCO-DETR-format .pth seeds transformer/bbox_embed/query_embed with a
     query-row slice (model_utils.py:10-36 semantics)."""

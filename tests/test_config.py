@@ -49,6 +49,32 @@ def test_jhmdb_values():
     assert cfg.num_queries_total == 10 * 32
 
 
+def test_repo_configs_mirror_reference():
+    """configuration/ ships all four reference experiments; AVA21 differs
+    from AVA22 exactly where the reference files do (warmup, avg pooling,
+    v21 paths — diff of the two reference YAMLs)."""
+    repo_yamls = sorted(glob.glob("/root/repo/configuration/*.yaml"))
+    assert len(repo_yamls) == 4, repo_yamls
+    cfg = load_config("/root/repo/configuration/tuber_csn152_ava21.yaml")
+    assert cfg.model.temporal_ds_strategy == "avg"
+    assert cfg.train.use_warmup is True
+    assert "v21" in cfg.data.anno_path
+    assert cfg.model.backbone_name == "CSN-152"
+    for p in repo_yamls:
+        load_config(p)  # every shipped config parses against the schema
+
+
+def test_use_location_guard():
+    """USE_LOCATION is loop plumbing in the reference whose consuming model
+    code is absent from the release; we guard instead of silently ignoring."""
+    from tubelet_transformer_tpu.cli import runner
+
+    cfg = Config()
+    cfg.use_location = True
+    with pytest.raises(NotImplementedError, match="USE_LOCATION"):
+        runner._check_supported(cfg)
+
+
 def test_unknown_key_rejected(tmp_path):
     p = tmp_path / "bad.yaml"
     p.write_text("CONFIG:\n  MODEL:\n    TYPO_KEY: 1\n")

@@ -170,6 +170,20 @@ def _jhmdb_cfg_with_fixture(tmp_path, rng):
     return _cfg(root, dataset="jhmdb")
 
 
+def test_loader_pad_to_batch(tmp_path, rng):
+    """Val loaders wrap-pad the tail so every sample is seen in full
+    batches; duplicated pad samples repeat the leading indices."""
+    _make_ava_fixture(tmp_path, rng)  # 4 keys
+    ds = AVADataset(_cfg(tmp_path), "val")
+    loader = DataLoader(ds, batch_size=3, shuffle=False, num_workers=1,
+                        rank=0, world=1, drop_last=True, pad_to_batch=True)
+    assert len(loader) == 2
+    keys = [k for b in loader for k in b["image_key"]]
+    assert len(keys) == 6
+    assert set(keys) == {k.replace(",", "_") for k in ds.keys}  # all seen
+    assert keys[4:] == keys[:2]  # wrap-padded with the leading samples
+
+
 def test_synthetic_dataset(rng):
     cfg = Config()
     cfg.data.img_size = 32

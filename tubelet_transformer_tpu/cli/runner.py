@@ -49,10 +49,12 @@ def make_loaders(cfg: Config):
     train_loader = DataLoader(train_ds, cfg.train.batch_size * n_local,
                               shuffle=True, seed=cfg.train.seed, rank=rank,
                               world=world, num_workers=cfg.data.num_workers)
+    # wrap-padded tail: every val keyframe is evaluated (the evaluators
+    # dedupe the duplicated pad samples by image_key) with full batches
     val_loader = DataLoader(val_ds, cfg.val.batch_size * n_local,
                             shuffle=False, rank=rank, world=world,
                             num_workers=cfg.data.num_workers,
-                            drop_last=True)
+                            drop_last=True, pad_to_batch=True)
     return train_loader, val_loader
 
 
@@ -92,6 +94,16 @@ def _check_supported(cfg: Config) -> None:
         raise NotImplementedError(
             "TWO_STREAM is not implemented (the reference ships no "
             "two-stream model either); set CONFIG.TWO_STREAM: false")
+    if cfg.use_location:
+        # The reference plumbs USE_LOCATION (lfb_location_features through
+        # collate_fn_lstr_location / the train loop,
+        # utils/video_action_recognition.py:109-139, utils/misc.py:284-308)
+        # but the consuming model code (forward_lfb_locations) is absent
+        # from the release; explicit guard rather than silence.
+        raise NotImplementedError(
+            "USE_LOCATION is not implemented (the reference's consuming "
+            "model code is absent from its release); set "
+            "CONFIG.USE_LOCATION: false")
 
 
 def run_training(cfg: Config) -> None:
@@ -128,7 +140,9 @@ def run_training(cfg: Config) -> None:
             np.int64(int(time.strftime("%Y%m%d%H%M%S"))))
         s = f"{int(stamp_num):014d}"
         stamp = f"{s[:8]}_{s[8:]}"
-    dirs = build_log_dir(cfg, stamp=stamp)
+    # every rank makes the dirs (collective save needs them); only rank 0
+    # writes config.json — concurrent writers on a shared FS interleave
+    dirs = build_log_dir(cfg, stamp=stamp, write_config=is_main)
     writer = MetricsWriter(dirs["tb"], enabled=True) if is_main else None
 
     train_loader, val_loader = make_loaders(cfg)
@@ -146,10 +160,11 @@ def run_training(cfg: Config) -> None:
 
     start_epoch = cfg.train.start_epoch
     if cfg.model.load and not cfg.model.pretrained_path:
-        # Resume from the newest checkpoint of any previous run under
-        # BASE_PATH (each run writes into a fresh timestamped exp dir).
-        latest = ckpt_lib.latest_checkpoint_any_run(cfg.log.base_path,
-                                                    cfg.log.save_dir)
+        # Resume from the newest checkpoint of this experiment's previous
+        # runs under BASE_PATH (each run writes a fresh timestamped exp dir;
+        # scoping by EXP_NAME keeps co-located experiments apart).
+        latest = ckpt_lib.latest_checkpoint_any_run(
+            cfg.log.base_path, cfg.log.save_dir, exp_name=cfg.log.exp_name)
         if latest:
             state, start_epoch, _ = ckpt_lib.load_checkpoint(latest, state)
             start_epoch += 1
@@ -167,6 +182,17 @@ def run_training(cfg: Config) -> None:
             state, _ = loop_lib.train_one_epoch(
                 cfg, train_step, state, train_loader, mesh, rng, epoch,
                 writer)
+            if jax.process_count() > 1:
+                # A SIGTERM may reach only some hosts (or at different
+                # epoch boundaries); the save/stop decision must be
+                # collective or the orbax save deadlocks. Max-allreduce
+                # the local flag so every process takes the same branch.
+                import numpy as np
+                from jax.experimental import multihost_utils
+
+                preempted["flag"] = bool(
+                    multihost_utils.process_allgather(
+                        np.int32(preempted["flag"])).max())
             if (preempted["flag"] or epoch % cfg.log.save_freq == 0
                     or epoch == cfg.train.epoch_num - 1):
                 # all processes participate (orbax save is a collective;

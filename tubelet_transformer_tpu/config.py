@@ -54,6 +54,11 @@ class ValConfig:
     # turning this off roughly halves eval-step cost (the 6 aux-layer
     # matchings + loss terms are ~10 ms of the 28 ms bs=4 eval step).
     compute_losses: bool = True
+    # Size-banded person-AP breakdown: [[min_area, max_area], ...] in px^2.
+    # Empty -> only the default 0..555^2 window (the reference's
+    # STDetectionEvaluaterSinglePerson default, evaluate_ava.py:187-188;
+    # the size-window family is its threshold_size_min/max parameters).
+    person_size_bands: tuple = ()
 
 
 @dataclass

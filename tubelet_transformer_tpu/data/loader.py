@@ -34,7 +34,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool,
                  seed: int = 0, rank: int = 0, world: int = 1,
                  num_workers: int = 8, drop_last: bool = True,
-                 prefetch: int = 4):
+                 prefetch: int = 4, pad_to_batch: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -48,6 +48,11 @@ class DataLoader:
         self.num_workers = max(1, min(num_workers,
                                       multiprocessing.cpu_count()))
         self.drop_last = drop_last
+        # Validation: wrap-pad the tail so every sample is seen while all
+        # batches stay full (static XLA shapes). The duplicated leading
+        # samples are deduped by the evaluators (keyed by image_key),
+        # matching the reference DistributedSampler+dict-overwrite effect.
+        self.pad_to_batch = pad_to_batch
         self.prefetch = prefetch
         self.epoch = 0
 
@@ -65,6 +70,9 @@ class DataLoader:
             per = (n + self.world - 1) // self.world
             idx = np.concatenate([idx, idx[: per * self.world - n]])
             idx = idx[self.rank::self.world]
+        if self.pad_to_batch and len(idx) % self.batch_size:
+            pad = self.batch_size - len(idx) % self.batch_size
+            idx = np.concatenate([idx, idx[:pad]])
         return idx.tolist()
 
     def __len__(self) -> int:

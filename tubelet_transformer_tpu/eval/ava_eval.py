@@ -41,19 +41,26 @@ class AVADetectionEvaluator:
                 class_ids = sorted(whitelist)
             else:
                 class_ids = list(range(1, class_num + 1))
-        self.class_ids = list(class_ids)
+        # score column c (0-based) is class id c+1 everywhere in the matrix
+        # API, so the evaluator's class list must be the sorted, in-range
+        # subset — an unsorted or out-of-range id would silently shift the
+        # column->class mapping in the compacted fast path.
+        self.class_ids = sorted(set(int(c) for c in class_ids))
+        if not all(1 <= c <= class_num for c in self.class_ids):
+            raise ValueError(
+                f"class_ids must lie in [1, {class_num}]: {self.class_ids}")
         self.class_num = class_num
         self.exclude_keys = set(exclude_keys)
         self.iou_thresholds = list(iou_thresholds)
         self._evals = [PascalMAPEvaluator(self.class_ids, t)
                        for t in self.iou_thresholds]
-        # whitelist mask over class columns (AVA-80: labelmap subset)
+        # whitelist mask over class columns (AVA-80: labelmap subset);
+        # cids[mask] enumerates in ascending order == self.class_ids, so
+        # the compacted score columns align with PascalMAPEvaluator's ids
         cids = np.arange(1, class_num + 1)
-        if class_num == 80:
-            self._col_mask = np.isin(cids, np.asarray(self.class_ids))
-        else:
-            self._col_mask = np.ones(class_num, bool)
+        self._col_mask = np.isin(cids, np.asarray(self.class_ids))
         self._col_ids = cids[self._col_mask]
+        assert list(self._col_ids) == self.class_ids
 
     # -- array API (collective-gathered eval path) --------------------------
 

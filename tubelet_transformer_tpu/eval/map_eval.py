@@ -114,6 +114,10 @@ class PascalMAPEvaluator:
         # and TP matrices, flattened once at evaluate()
         self._mat_scores: List[np.ndarray] = []
         self._mat_tp: List[np.ndarray] = []
+        # detections buffered until evaluate() so TP assignment sees the
+        # complete ground truth regardless of add order
+        self._pending_rows: List[tuple] = []
+        self._pending_mat: List[tuple] = []
 
     def add_ground_truth(self, image_key: str, boxes: np.ndarray,
                          classes: np.ndarray) -> None:
@@ -130,23 +134,16 @@ class PascalMAPEvaluator:
     def add_detections(self, image_key: str, boxes: np.ndarray,
                        classes: np.ndarray, scores: np.ndarray) -> None:
         """Detections for one image; sorted by descending score internally
-        (evaluate_ava.py:147)."""
+        (evaluate_ava.py:147). TP assignment is deferred to ``evaluate()``
+        so GT and detections for an image may arrive in either order (the
+        reference loads all GT, then all detections; the live eval loop
+        interleaves per image)."""
         if image_key in self._det_images:
             return
         self._det_images.add(image_key)
         order = np.argsort(-scores, kind="stable")
-        boxes, classes, scores = boxes[order], classes[order], scores[order]
-        gt = self._gt.get(image_key, {})
-        for c in self.class_ids:
-            sel = classes == c
-            if not np.any(sel):
-                continue
-            s, tp = per_image_tp_fp(
-                boxes[sel], scores[sel], gt.get(c, np.zeros((0, 4))),
-                self.iou_threshold)
-            st = self._state[c]
-            st.scores.append(s)
-            st.tp.append(tp)
+        self._pending_rows.append(
+            (image_key, boxes[order], classes[order], scores[order]))
 
     def add_detections_matrix(self, image_key: str, boxes: np.ndarray,
                               scores: np.ndarray) -> None:
@@ -157,35 +154,56 @@ class PascalMAPEvaluator:
         per-class descending-score order, same greedy matching) but ~20x
         faster: TP assignment runs only for the classes that actually have
         ground truth in this image, and the score/TP matrices flatten once
-        at ``evaluate()``.
+        at ``evaluate()``. TP assignment itself is deferred to
+        ``evaluate()`` (order-independent vs GT insertion).
         """
         if image_key in self._det_images:
             return
         self._det_images.add(image_key)
-        boxes = np.asarray(boxes, float)
-        scores = np.asarray(scores, float)
-        q = boxes.shape[0]
-        tp = np.zeros(scores.shape, bool)
-        gt = self._gt.get(image_key, {})
-        if gt and q:
-            for j, cid in enumerate(self.class_ids):
-                g = gt.get(cid)
-                if g is None:
+        self._pending_mat.append((image_key, np.asarray(boxes, float),
+                                  np.asarray(scores, float)))
+
+    def _flush_pending(self) -> None:
+        """Assign TP/FP for buffered detections against the (now complete)
+        ground truth."""
+        for image_key, boxes, classes, scores in self._pending_rows:
+            gt = self._gt.get(image_key, {})
+            for c in self.class_ids:
+                sel = classes == c
+                if not np.any(sel):
                     continue
-                od = np.argsort(-scores[:, j], kind="stable")
-                iou = np_box_iou(boxes[od], g)
-                gt_det = np.zeros(g.shape[0], bool)
-                best = np.argmax(iou, axis=1)
-                for i in range(q):
-                    gi = best[i]
-                    if iou[i, gi] >= self.iou_threshold and not gt_det[gi]:
-                        tp[od[i], j] = True
-                        gt_det[gi] = True
-        self._mat_scores.append(scores)
-        self._mat_tp.append(tp)
+                s, tp = per_image_tp_fp(
+                    boxes[sel], scores[sel], gt.get(c, np.zeros((0, 4))),
+                    self.iou_threshold)
+                st = self._state[c]
+                st.scores.append(s)
+                st.tp.append(tp)
+        self._pending_rows.clear()
+        for image_key, boxes, scores in self._pending_mat:
+            q = boxes.shape[0]
+            tp = np.zeros(scores.shape, bool)
+            gt = self._gt.get(image_key, {})
+            if gt and q:
+                for j, cid in enumerate(self.class_ids):
+                    g = gt.get(cid)
+                    if g is None:
+                        continue
+                    od = np.argsort(-scores[:, j], kind="stable")
+                    iou = np_box_iou(boxes[od], g)
+                    gt_det = np.zeros(g.shape[0], bool)
+                    best = np.argmax(iou, axis=1)
+                    for i in range(q):
+                        gi = best[i]
+                        if iou[i, gi] >= self.iou_threshold and not gt_det[gi]:
+                            tp[od[i], j] = True
+                            gt_det[gi] = True
+            self._mat_scores.append(scores)
+            self._mat_tp.append(tp)
+        self._pending_mat.clear()
 
     def evaluate(self) -> Tuple[float, Dict[int, float]]:
         """Returns (mAP, per-class AP dict). mAP = nanmean over classes."""
+        self._flush_pending()
         mat_s = (np.concatenate(self._mat_scores, axis=0)
                  if self._mat_scores else None)
         mat_t = (np.concatenate(self._mat_tp, axis=0)

@@ -179,7 +179,9 @@ class StreamingDetector:
     def _prep_frame(self, frame: np.ndarray) -> np.ndarray:
         """Aspect-preserving resize onto the fixed canvas (top-left)."""
         h, w = frame.shape[:2]
-        if self._src_hw is None:
+        if self._src_hw != (h, w):
+            # (re)compute on first frame AND on mid-stream resolution
+            # changes — a stale scale would map boxes to wrong geometry
             self._src_hw = (h, w)
             self._scale = self.img_size / max(h, w)
         nh = max(1, int(round(h * self._scale)))
@@ -344,6 +346,9 @@ class StreamingDetectorPool:
             bucket = 1
             while bucket < n:
                 bucket *= 2
+            # max_batch bounds the compiled batch even when it is not a
+            # power of two (chunk of 5, max_batch 6: bucket 6, not 8)
+            bucket = min(bucket, self.max_batch)
             clips, pads, mems, mmasks = [], [], [], []
             for sid in chunk:
                 s = self._streams[sid]

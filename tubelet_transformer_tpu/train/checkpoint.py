@@ -84,13 +84,18 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, cands[-1])
 
 
-def latest_checkpoint_any_run(base_path: str, save_dir: str = "checkpoints"
-                              ) -> Optional[str]:
-    """Newest ckpt across all timestamped experiment dirs under base_path
-    (each run gets a fresh exp dir, so resume must search siblings)."""
+def latest_checkpoint_any_run(base_path: str, save_dir: str = "checkpoints",
+                              exp_name: str = "") -> Optional[str]:
+    """Newest ckpt across the timestamped experiment dirs under base_path
+    (each run gets a fresh exp dir, so resume must search siblings).
+
+    ``exp_name`` scopes the search to this experiment's own runs
+    (dirs are named ``{exp_name}_{stamp}``): two experiments sharing a
+    BASE_PATH must not cross-resume each other's incompatible states."""
     import glob
 
-    cands = glob.glob(os.path.join(base_path, "*", save_dir, "ckpt_epoch_*"))
+    pat = f"{glob.escape(exp_name)}_*" if exp_name else "*"
+    cands = glob.glob(os.path.join(base_path, pat, save_dir, "ckpt_epoch_*"))
     if not cands:
         return None
     cands.sort(key=lambda p: (int(p.rsplit("_", 1)[1]), os.path.getmtime(p)))
@@ -191,5 +196,23 @@ def load_pretrained(cfg: Config, variables: Dict[str, Any]) -> Dict[str, Any]:
     if cfg.model.load_detr and cfg.model.pretrain_transformer_dir:
         variables = seed_from_detr(cfg, variables)
     if cfg.model.load and cfg.model.pretrained_path:
-        variables = load_tuber_pth(cfg, variables)
+        if os.path.isdir(cfg.model.pretrained_path):
+            # one of our own orbax checkpoints (a directory), not a
+            # reference .pth — eval CLIs accept either format
+            variables = load_orbax_variables(cfg.model.pretrained_path,
+                                             variables)
+        else:
+            variables = load_tuber_pth(cfg, variables)
     return variables
+
+
+def load_orbax_variables(path: str, variables: Dict[str, Any]
+                         ) -> Dict[str, Any]:
+    """Model weights (params + batch_stats) from an orbax training
+    checkpoint directory, ignoring optimizer/schedule state."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    return {"params": restored["params"],
+            "batch_stats": restored["batch_stats"]}

@@ -107,6 +107,10 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
         label_path=label_path or (cfg.data.label_path or None),
         class_num=cfg.data.num_classes, exclude_keys=exclude_keys)
     person_eval = PersonDetectionEvaluator()
+    # size-banded person-AP breakdown (the reference's size-window family:
+    # STDetectionEvaluaterSinglePerson(threshold_size_min/max))
+    band_evals = [(lo, hi, PersonDetectionEvaluator(size_min=lo, size_max=hi))
+                  for lo, hi in (cfg.val.person_size_bands or ())]
     loss_meters = {k: AverageMeter(k) for k in
                    ("loss_ce", "loss_ce_b", "loss_bbox", "loss_giou")}
     dump_rows = []
@@ -148,6 +152,9 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
                                      gathered["scores"][i])
             person_eval.add_detections(image_key, det_boxes,
                                        gathered["binary"][i][:, 0])
+            for _, _, bev in band_evals:
+                bev.add_detections(image_key, det_boxes,
+                                   gathered["binary"][i][:, 0])
             # ground truth: denormalize cxcywh -> absolute xyxy
             gv = gathered["gt_valid"][i]
             gb = gathered["gt_boxes"][i][gv]
@@ -158,6 +165,8 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
             gl = gathered["gt_labels"][i][gv]
             evaluator.add_ground_truth(image_key, gxyxy, gl)
             person_eval.add_ground_truth(image_key, gxyxy)
+            for _, _, bev in band_evals:
+                bev.add_ground_truth(image_key, gxyxy)
             if dump_dir is not None:
                 for q in range(det_boxes.shape[0]):
                     dump_rows.append((image_key, list(det_boxes[q]) +
@@ -190,6 +199,13 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
         if writer:
             writer.add_scalar("val/val_mAP_epoch", maps[0], epoch)
             writer.add_scalar("val/val_person_AP_epoch", person_ap[0], epoch)
+        for lo, hi, bev in band_evals:
+            band_ap = bev.evaluate()[0]
+            tag = f"person_AP_size_{int(lo)}_{int(hi)}"
+            result[tag] = band_ap
+            print(f"  person AP (area {int(lo)}..{int(hi)}): {band_ap:.4f}")
+            if writer:
+                writer.add_scalar(f"val/{tag}", band_ap, epoch)
     return result
 
 

@@ -86,10 +86,13 @@ class MetricsWriter:
                 self._tb.close()
 
 
-def build_log_dir(cfg, stamp: str = "") -> Dict[str, str]:
+def build_log_dir(cfg, stamp: str = "",
+                  write_config: bool = True) -> Dict[str, str]:
     """Timestamped experiment dir with tb/ckpt subdirs + resolved config dump
     (reference utils/utils.py:28-50). Multi-host callers pass a shared
-    ``stamp`` so every process resolves the same run directory."""
+    ``stamp`` so every process resolves the same run directory, and set
+    ``write_config`` on rank 0 only (concurrent writers to the same file on
+    a shared filesystem interleave/truncate)."""
     import dataclasses
     import datetime
 
@@ -100,6 +103,7 @@ def build_log_dir(cfg, stamp: str = "") -> Dict[str, str]:
     ckpt_dir = os.path.join(exp_dir, cfg.log.save_dir)
     os.makedirs(tb_dir, exist_ok=True)
     os.makedirs(ckpt_dir, exist_ok=True)
-    with open(os.path.join(exp_dir, "config.json"), "w") as f:
-        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+    if write_config:
+        with open(os.path.join(exp_dir, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
     return {"exp": exp_dir, "tb": tb_dir, "ckpt": ckpt_dir}
