@@ -31,6 +31,13 @@ SLOW_MODULES = {
     "test_e2e",
     "test_engine",
     "test_composed_pipeline",
+    # Pallas kernels run in (slow) interpret mode on the CPU-only CI mesh;
+    # they execute for real under TUBER_TEST_TPU=1
+    "test_pallas_stem",
+    "test_pallas_stage",
+    "test_pallas_bottleneck",
+    "test_pallas_depthwise",
+    "test_lfb_learning",
 }
 
 

@@ -33,6 +33,36 @@ def _dw_lax(x, w, stride=(1, 1, 1)):
         feature_group_count=c)
 
 
+def _dw_tfold(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 3x3x3 stride-1 SAME as three 2D depthwise convs over the
+    T-folded batch, plus a temporal shift-sum.
+
+    At layer1 scale (C=64) XLA's native conv emitter puts batch on
+    sublanes; with only B in batch the sublane dim is starved and the 3D
+    depthwise runs ~10x over the bandwidth floor (ROADMAP "Measured
+    ceilings"). Folding T into batch feeds the same emitter B*T rows —
+    the measured 3x layout win — and the temporal taps become a
+    shift-and-add that XLA fuses into one elementwise pass. The
+    (B,T,...)->(B*T,...) reshapes merge leading dims only, so they are
+    layout-preserving bitcasts, not graph-level repacks.
+    """
+    b, t, h, wd, c = x.shape
+    xf = x.reshape(b * t, h, wd, c)
+
+    def conv2d(dt):
+        return lax.conv_general_dilated(
+            xf, w[dt].reshape(3, 3, 1, c), (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c).reshape(b, t, h, wd, c)
+
+    # out[t] = w[0]*x[t-1] + w[1]*x[t] + w[2]*x[t+1]  (SAME, zero edges)
+    y0, y1, y2 = conv2d(0), conv2d(1), conv2d(2)
+    zero = jnp.zeros_like(y1[:, :1])
+    return (y1
+            + jnp.concatenate([zero, y0[:, :-1]], axis=1)
+            + jnp.concatenate([y2[:, 1:], zero], axis=1))
+
+
 def _dw_pallas(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
