@@ -14,10 +14,13 @@ Measurement notes (axon remote-TPU relay):
 
 The reference publishes no throughput numbers (BASELINE.md: "published:
 {}"). ``vs_baseline`` is reported against the repo's north-star target
-(BASELINE.json): >= 2x an A100 on CSN-152 TubeR inference. With no published
-A100 number either, we peg the A100 estimate at 300 clips/s (120 GFLOPs/view
-at ~23% bf16 MFU — typical for conv3d-heavy models), so
-vs_baseline = clips_per_sec / 600.0 and >= 1.0 means the target is met.
+(BASELINE.json): >= 2x an A100 on CSN-152 TubeR inference. The A100 anchor
+(300 clips/s => denominator 600) is grounded in BASELINE.md "Throughput
+anchor": the measured 3.2 GB/clip byte count of this op graph puts the
+A100 roofline ceiling at ~605 clips/s, and eager torch/cuDNN lands at
+30-50% of roofline on graphs like this; 300 is the aggressive end. The
+same measurement shows the v5e number itself is HBM-saturated
+(~770 of ~819 GB/s sustained) — speed-of-light for this byte count.
 """
 
 import functools
@@ -105,7 +108,45 @@ def main():
         "unit": "clips/s",
         "vs_baseline": round(best_cps / 600.0, 4),
         "batch_size": best_bs,
-    }))
+    }), flush=True)
+    if on_tpu:
+        train_metric()
+
+
+def train_metric(bs: int = 8, budget_s: int = 420):
+    """Second JSON line: CSN-152 train-step throughput, the reference
+    fine-tune recipe (pretrained backbone, tune_point=4, bs=8 — the
+    measured per-chip optimum).  No published train-throughput baseline
+    exists either, so ``vs_baseline`` is anchored to the same A100 pegging
+    as inference, scaled by the fine-tune backward cost: A100 estimate
+    100 clips/s (fwd + partial bwd ~= 3x fwd FLOPs), target 2x = 200.
+
+    Runs as a bounded subprocess: a cold compile of the bs=8 train graph
+    over the remote-TPU relay can take >10 min, and the train line is
+    additive — it must never stall the driver's bench. Once the persistent
+    compile cache is warm the run takes seconds."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "/root/repo/benchmarks/bench_train.py",
+             str(bs), "finetune-only"],
+            capture_output=True, text=True, timeout=budget_s)
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        rec = json.loads(line)
+        cps = rec["clips_per_sec_chip"]
+        print(json.dumps({
+            "metric": "clips_per_sec_csn152_tuber_ava_train_1chip",
+            "value": cps,
+            "unit": "clips/s",
+            "vs_baseline": round(cps / 200.0, 4),
+            "batch_size": bs,
+            "ms_per_step": rec["value"],
+        }), flush=True)
+    except Exception as e:  # train metric is additive; never break the bench
+        print(f"# train metric failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

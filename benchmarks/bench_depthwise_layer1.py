@@ -32,8 +32,9 @@ def main(b=2, t=32, hw=64, c=64):
         "xla3d": lambda x_: dw._dw_lax(x_, w),
         "tfold": lambda x_: dw._dw_tfold(x_, w),
     }
-    if jax.default_backend() == "tpu":
-        impls["pallas_v2"] = lambda x_: dw._dw_pallas_v2(x_, w)
+    if jax.default_backend() == "tpu" and os.environ.get("BENCH_PALLAS"):
+        # t_blk=2: the default t_blk=4 VMEM-OOMs at layer1 scale (W*C=4096)
+        impls["pallas_v2"] = lambda x_: dw._dw_pallas_v2(x_, w, t_blk=2)
 
     # correctness first
     ref = np.asarray(impls["xla3d"](x), np.float32)

@@ -80,5 +80,6 @@ if __name__ == "__main__":
     # 33.3 @8, 32.4 @16-with-remat)
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     main(batch_size=bs, pretrained=True)   # the reference fine-tune recipe
-    main(batch_size=bs, pretrained=False)  # full backprop
+    if "finetune-only" not in sys.argv:    # bench.py's bounded train line
+        main(batch_size=bs, pretrained=False)  # full backprop
 
