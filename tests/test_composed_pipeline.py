@@ -112,6 +112,141 @@ def _cpu_torch(monkeypatch):
     monkeypatch.setattr(_time, "sleep", lambda s: None)  # ref sleeps 30 s
 
 
+C_J = 21  # the reference hard-codes 21-wide one-hot GT for JHMDB
+          # (video_action_recognition.py:565-569)
+
+
+def _make_jhmdb_fixture(tmp_path, rng):
+    """Two videos, 48x96 frames (exact 2:1 so val resize is integer),
+    full-length tubes so every keyframe has GT on both paths."""
+    import pickle
+
+    from PIL import Image
+
+    vids = ["cls/v0", "cls/v1"]
+    nframes = {v: 12 for v in vids}
+    gttubes = {}
+    for iv, v in enumerate(vids):
+        d = tmp_path / "frames" / v
+        d.mkdir(parents=True)
+        for i in range(12):
+            arr = rng.integers(0, 255, (48, 96, 3)).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i + 1:05d}.png")
+        tube = np.stack([
+            np.arange(12, dtype=np.float32),
+            np.full(12, 10.0 + 4 * iv), np.full(12, 8.0),
+            np.full(12, 60.0 + 4 * iv), np.full(12, 40.0)], axis=1)
+        gttubes[v] = {3 + iv: [tube]}
+    with open(tmp_path / "JHMDB-GT.pkl", "wb") as f:
+        pickle.dump({"train_videos": [vids], "test_videos": [vids],
+                     "nframes": nframes,
+                     "resolution": {v: (48, 96) for v in vids},
+                     "gttubes": gttubes,
+                     "labels": [f"action{i}" for i in range(C_J)]}, f)
+    return str(tmp_path / "frames")
+
+
+def test_composed_eval_parity_jhmdb(tmp_path, rng, _cpu_torch):
+    """The UCF/JHMDB composition: tubelet queries (Q*T), key-frame query
+    slicing, softmax postprocess, argmax/no-object evaluator rules —
+    reference validate_tuber_ucf_detection (video_action_recognition.py:
+    456-689) vs our validate_ucf, same fixture, same converted weights."""
+    np.int = int
+    np.float = np.float64
+    np.NAN = np.nan
+
+    frames_dir = _make_jhmdb_fixture(tmp_path, rng)
+
+    import test_tuber_model as ttm
+
+    ttm.NUM_CLASSES = C_J  # _build_ref_detr reads the module globals
+    try:
+        ref = _build_ref_detr("decoder", dataset="jhmdb")
+    finally:
+        ttm.NUM_CLASSES = NUM_CLASSES
+    with torch.no_grad():
+        # spread the (2-way) actor head and the (C+1) softmax head so
+        # rankings are far from cross-framework numeric noise
+        ref.class_embed_b.bias.copy_(torch.tensor([0.0, 2.0]))
+        ref.class_fc.weight.mul_(10.0)
+    sd = {k: v for k, v in ref.state_dict().items()}
+    params, batch_stats = tc.tuber_params_from_torch_state(
+        sd, block_nums=(3, 4, 6, 3), enc_layers=2, dec_layers=2,
+        dataset_mode="jhmdb", temporal_ds_strategy="decoder")
+
+    # --- reference pipeline ----------------------------------------------
+    jf = load_ref("datasets.jhmdb_frame")
+    misc = load_ref("utils.misc")
+    var = load_ref("utils.video_action_recognition")
+    crit_mod = load_ref("models.criterion")
+    matcher_mod = load_ref("models.detr.matcher_ucf")
+
+    ref_cfg = _ref_val_cfg(tmp_path, label_path="")
+    ref_cfg.CONFIG.DATA.NUM_CLASSES = C_J
+    ref_cfg.CONFIG.DATA.DATASET_NAME = "jhmdb"
+    ref_cfg.CONFIG.MATCHER.COST_CLASS = 1.0
+
+    val_ds = jf.VideoDataset(
+        directory=str(tmp_path), video_path=frames_dir,
+        transforms=jf.make_transforms(
+            "val", SimpleNamespace(CONFIG=SimpleNamespace(
+                DATA=SimpleNamespace(IMG_SIZE=IMG)))),
+        clip_len=TLEN, resize_size=IMG, crop_size=IMG, mode="val")
+    val_loader = torch.utils.data.DataLoader(
+        val_ds, batch_size=2, shuffle=False, num_workers=0,
+        collate_fn=misc.collate_fn)
+
+    matcher = matcher_mod.build_matcher(ref_cfg)
+    weight_dict = {"loss_ce": 12.0, "loss_bbox": 5.0, "loss_giou": 2.0,
+                   "loss_ce_b": 1}
+    weight_dict.update({f"{k}_0": v for k, v in dict(weight_dict).items()})
+    criterion = crit_mod.SetCriterion(
+        10.0, C_J, num_queries=Q, matcher=matcher, weight_dict=weight_dict,
+        eos_coef=0.1, losses=["labels", "boxes"], data_file="jhmdb",
+        evaluation=False)
+    post = crit_mod.PostProcess()
+
+    writer = _Writer()
+    ref_map = var.validate_tuber_ucf_detection(
+        ref_cfg, ref, criterion, {"bbox": post}, val_loader, 0, writer)
+
+    # --- our pipeline ----------------------------------------------------
+    import jax
+
+    from tubelet_transformer_tpu.data.jhmdb import JHMDBDataset
+    from tubelet_transformer_tpu.data.loader import DataLoader
+    from tubelet_transformer_tpu.models.tuber import build_model
+    from tubelet_transformer_tpu.parallel import mesh as mesh_lib
+    from tubelet_transformer_tpu.train import engine
+    from tubelet_transformer_tpu.train.loop import validate_ucf
+
+    cfg = _our_cfg("decoder", dataset="jhmdb")
+    cfg.data.num_classes = C_J
+    cfg.data.anno_path = str(tmp_path)
+    cfg.data.data_path = frames_dir
+    cfg.data.img_size = IMG
+    cfg.data.temp_len = TLEN
+    cfg.model.temp_len = TLEN
+    cfg.data.max_boxes = 6
+    cfg.data.native_decode = False
+    cfg.val.batch_size = 2
+
+    ds = JHMDBDataset(cfg, "val")
+    loader = DataLoader(ds, batch_size=2, shuffle=False, rank=0, world=1,
+                        num_workers=1, drop_last=True, pad_to_batch=True)
+    model = build_model(cfg)
+    sample = next(iter(loader))
+    state, _, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), sample, steps_per_epoch=1)
+    state = state.replace(params=params, batch_stats=batch_stats)
+    eval_step = engine.make_eval_step(cfg, model)
+    mesh = mesh_lib.create_mesh(1, 1, devices=jax.devices()[:1])
+
+    result = validate_ucf(cfg, eval_step, state, loader, mesh, epoch=0)
+
+    assert abs(result["mAP"] - ref_map) < 1e-6, (result["mAP"], ref_map)
+
+
 def test_composed_eval_parity(tmp_path, rng, _cpu_torch):
     # numpy 2 removed the aliases the reference uses
     np.int = int
