@@ -1,0 +1,110 @@
+"""Serving latency-SLO benchmark: StreamingDetectorPool under N concurrent
+streams.
+
+Simulates N live streams pushing frames round-robin with staggered phases
+(so keyframes fall due across ticks, not all at once), runs pool.step()
+each tick, and measures the wall latency of each fired keyframe detection
+(push of the due frame -> result returned). Reports per-stream-count
+p50/p95/max step latency and sustained keyframe throughput.
+
+Usage: python benchmarks/bench_serving.py [streams ...]  (default 1 4 8)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def bench(n_streams: int, ticks: int = 40, fps: float = 30.0):
+    import json
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tubelet_transformer_tpu.config import Config
+    from tubelet_transformer_tpu.serving import StreamingDetectorPool
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = Config()
+    cfg.data.num_classes = 80
+    if on_tpu:
+        cfg.model.backbone_name = "CSN-152"
+        cfg.data.img_size = 256
+        cfg.data.temp_len = 32
+        cfg.model.temp_len = 32
+        cfg.model.compute_dtype = "bfloat16"
+        cfg.model.temporal_ds_strategy = "decode"
+    else:  # CPU smoke shapes
+        cfg.model.backbone_name = "CSN-TINY"
+        cfg.data.img_size = 64
+        cfg.data.temp_len = 8
+        cfg.model.temp_len = 8
+        cfg.model.d_model = 64
+        cfg.model.nhead = 4
+        cfg.model.enc_layers = 1
+        cfg.model.dec_layers = 1
+        cfg.model.dim_feedforward = 64
+        cfg.model.compute_dtype = "float32"
+
+    pool = StreamingDetectorPool(cfg, max_batch=max(
+        1 << (n_streams - 1).bit_length(), 1), fps=fps)
+    rng = np.random.default_rng(0)
+    h, w = 480, 640
+    frame = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+
+    window = cfg.data.temp_len * pool._tpl.stride
+    # stagger: prefill each stream a different depth into its window so
+    # detections spread over ticks like real phase-shifted cameras
+    for s in range(n_streams):
+        for _ in range(window - 1 - (s * pool._tpl.detect_every
+                                     // max(n_streams, 1)) % window):
+            pool.push_frame(s, frame)
+    pool.step()
+    # warmup: one full detection cycle so every padded-bucket size that
+    # will occur in steady state is compiled before measurement
+    for _ in range(pool._tpl.detect_every + 1):
+        for s in range(n_streams):
+            pool.push_frame(s, frame)
+        pool.step()
+
+    lat = []
+    fired = 0
+    t_start = time.perf_counter()
+    for _ in range(ticks):
+        for s in range(n_streams):
+            pool.push_frame(s, frame)
+        t0 = time.perf_counter()
+        res = pool.step()
+        if res:
+            lat.append(time.perf_counter() - t0)
+            fired += len(res)
+    wall = time.perf_counter() - t_start
+
+    lat_ms = sorted(x * 1e3 for x in lat)
+
+    def pct(p):
+        return lat_ms[min(len(lat_ms) - 1, int(p * len(lat_ms)))] \
+            if lat_ms else float("nan")
+
+    print(json.dumps({
+        "metric": "serving_pool_step_latency_ms",
+        "streams": n_streams,
+        "p50": round(pct(0.50), 2),
+        "p95": round(pct(0.95), 2),
+        "max": round(lat_ms[-1], 2) if lat_ms else None,
+        "keyframes_fired": fired,
+        "keyframes_per_sec": round(fired / wall, 2),
+        "ticks": ticks,
+    }))
+
+
+if __name__ == "__main__":
+    counts = [int(a) for a in sys.argv[1:]] or [1, 4, 8]
+    for n in counts:
+        bench(n)
