@@ -112,3 +112,35 @@ def test_pool_batches_streams_and_matches_single():
         for ds, dp in zip(rs.detections, rp.detections):
             np.testing.assert_allclose(ds.box, dp.box, atol=1e-3)
             np.testing.assert_allclose(ds.scores, dp.scores, atol=1e-4)
+
+
+def test_pool_deadline_scheduling():
+    """Deadline-monotonic admission: when more streams are due than one
+    step may serve (max_chunks bound), the tightest-slack SLO streams go
+    first; best-effort (no-SLO) streams wait; served results report
+    waited_ms and deadline_met."""
+    from tubelet_transformer_tpu.serving import StreamingDetectorPool
+
+    cfg = _cfg()
+    pool = StreamingDetectorPool(cfg, fps=8.0, detect_every=8, max_batch=2)
+    pool.set_deadline("tight", 10_000.0)
+    pool.set_deadline("loose", 60_000.0)
+    # "easy" has no SLO -> scheduled last
+
+    frames = _frames(16, seed=3)
+    for f in frames:
+        for sid in ("easy", "tight", "loose"):
+            pool.push_frame(sid, f)
+
+    due_order = pool._due()
+    assert due_order == ["tight", "loose", "easy"]
+
+    out = pool.step(max_chunks=1)           # one forward of max_batch=2
+    assert set(out) == {"tight", "loose"}
+    assert out["tight"].deadline_met is True
+    assert out["tight"].waited_ms >= 0.0
+
+    out2 = pool.step(max_chunks=1)          # overflow stream next
+    assert set(out2) == {"easy"}
+    assert out2["easy"].deadline_met is None  # best-effort stream
+    assert pool._due() == []                  # everything served

@@ -70,6 +70,8 @@ class KeyframeResult:
     detections: List[Detection]
     latency_ms: float        # host wall-clock of the detection call
     memory_size: int = 0     # valid long-term memory tokens used
+    waited_ms: float = 0.0   # time spent due before being scheduled (pool)
+    deadline_met: Optional[bool] = None  # vs set_deadline SLO; None = no SLO
 
 
 @dataclass
@@ -311,11 +313,21 @@ class StreamingDetectorPool:
             s._since_detect = 0
             s._src_hw = None
             s._scale = 1.0
+            s._deadline_ms = None
+            s._due_at = None
             s.memory = (_Memory(self._mk[1], self._mk[0],
                                 t.cfg.model.d_model)
                         if t.memory is not None else None)
             self._streams[sid] = s
         return self._streams[sid]
+
+    def set_deadline(self, sid, deadline_ms: Optional[float]) -> None:
+        """Latency SLO for one stream: maximum milliseconds between a
+        keyframe becoming due and its detection being served. Streams with
+        tighter remaining slack are scheduled first when more streams are
+        due than ``max_batch`` can serve in one forward (deadline-monotonic
+        admission; None = best-effort, scheduled after all SLO streams)."""
+        self._stream(sid)._deadline_ms = deadline_ms
 
     def push_frame(self, sid, frame: np.ndarray) -> None:
         """Feed one frame of one stream (no detection yet; see step())."""
@@ -323,21 +335,37 @@ class StreamingDetectorPool:
         s._frames.append(s._prep_frame(frame))
         s._frame_count += 1
         s._since_detect += 1
+        window = s.t_len * s.stride
+        if (getattr(s, "_due_at", None) is None
+                and len(s._frames) >= window
+                and s._since_detect >= s.detect_every):
+            s._due_at = time.perf_counter()
 
     def _due(self):
+        """Due streams, tightest remaining deadline slack first."""
+        now = time.perf_counter()
         out = []
         for sid, s in self._streams.items():
             window = s.t_len * s.stride
             if (len(s._frames) >= window
                     and s._since_detect >= s.detect_every):
-                out.append(sid)
-        return out
+                dl = getattr(s, "_deadline_ms", None)
+                waited = (now - s._due_at) * 1e3 \
+                    if getattr(s, "_due_at", None) is not None else 0.0
+                slack = float("inf") if dl is None else dl - waited
+                out.append((slack, sid))
+        out.sort(key=lambda p: p[0])
+        return [sid for _, sid in out]
 
-    def step(self) -> Dict:
-        """Run one padded batched detection over all due streams."""
+    def step(self, max_chunks: Optional[int] = None) -> Dict:
+        """Run padded batched detections over the due streams, tightest
+        deadline first. ``max_chunks`` bounds the forwards per call
+        (overflow streams stay due and lead the next step)."""
         due = self._due()
         if not due:
             return {}
+        if max_chunks is not None:
+            due = due[: max_chunks * self.max_batch]
         results: Dict = {}
         t = self._tpl
         for chunk_start in range(0, len(due), self.max_batch):
@@ -389,9 +417,15 @@ class StreamingDetectorPool:
                         for q in range(len(bin_i))
                         if bin_i[q] > s.actor_threshold]
                 key_idx = s._frame_count - s.t_len * s.stride // 2
+                waited = ((time.perf_counter() - s._due_at) * 1e3
+                          if getattr(s, "_due_at", None) is not None else 0.0)
+                s._due_at = None
+                dl = getattr(s, "_deadline_ms", None)
                 results[sid] = KeyframeResult(
                     frame_index=key_idx, time_s=key_idx / s.fps,
                     detections=dets, latency_ms=lat,
                     memory_size=int((~np.asarray(mmasks[i])).sum()
-                                    if s.memory is not None else 0))
+                                    if s.memory is not None else 0),
+                    waited_ms=waited,
+                    deadline_met=None if dl is None else waited <= dl)
         return results
