@@ -36,6 +36,39 @@ def t_conv3d(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 4, 1, 0)))
 
 
+def t_conv2d(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d weight (O, I, kh, kw) -> flax Conv kernel (kh, kw, I, O)."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def conv2d_params(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {"kernel": t_conv2d(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def gn_params(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def mh_attention_map_params(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """Reference MHAttentionMap (segmentation.py:140-156) -> our module."""
+    return {"q_linear": dense_params(sd, f"{prefix}.q_linear"),
+            "k_linear": dense_params(sd, f"{prefix}.k_linear")}
+
+
+def mask_head_params(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """Reference MaskHeadSmallConv (segmentation.py:75-100) -> our module."""
+    p: Dict[str, Any] = {}
+    for i in range(1, 6):
+        p[f"lay{i}"] = conv2d_params(sd, f"{prefix}.lay{i}")
+        p[f"gn{i}"] = gn_params(sd, f"{prefix}.gn{i}")
+    for i in range(1, 4):
+        p[f"adapter{i}"] = conv2d_params(sd, f"{prefix}.adapter{i}")
+    p["out_lay"] = conv2d_params(sd, f"{prefix}.out_lay")
+    return p
+
+
 def mha_params(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
     """torch (custom or nn.) MultiheadAttention -> our MultiHeadAttention."""
     return {
