@@ -128,9 +128,12 @@ def train_metric(bs: int = 8, budget_s: int = 420):
     import subprocess
 
     try:
+        import os
+
+        script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "bench_train.py")
         out = subprocess.run(
-            [sys.executable, "/root/repo/benchmarks/bench_train.py",
-             str(bs), "finetune-only"],
+            [sys.executable, script, str(bs), "finetune-only"],
             capture_output=True, text=True, timeout=budget_s)
         line = [l for l in out.stdout.strip().splitlines()
                 if l.startswith("{")][-1]

@@ -62,6 +62,25 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ckpt_lib.latest_checkpoint(str(tmp_path / "ck")) == path
 
 
+def test_load_orbax_variables_partial_restore(tmp_path):
+    """Eval-side weight loading reads only params/batch_stats from a full
+    training checkpoint (opt_state stays on disk)."""
+    cfg = _tiny_cfg()
+    model = build_model(cfg)
+    state, _, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), _batch(cfg), 10)
+    path = ckpt_lib.save_checkpoint(str(tmp_path / "ck"), state, epoch=1)
+
+    template = {"params": jax.tree.map(np.zeros_like, state.params),
+                "batch_stats": jax.tree.map(np.zeros_like,
+                                            state.batch_stats)}
+    out = ckpt_lib.load_orbax_variables(path, template)
+    assert set(out.keys()) == {"params", "batch_stats"}
+    a = jax.tree.leaves(state.params)[0]
+    b = jax.tree.leaves(out["params"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_resume_scoped_to_exp_name(tmp_path):
     """Two experiments sharing one BASE_PATH must not cross-resume: the
     search is scoped to this experiment's own ``{exp_name}_{stamp}`` dirs."""
@@ -81,6 +100,15 @@ def test_resume_scoped_to_exp_name(tmp_path):
     # unscoped search (legacy behavior) still sees everything
     got = ckpt_lib.latest_checkpoint_any_run(str(base))
     assert got and got.endswith("ckpt_epoch_9")
+    # an experiment whose name extends ours must not match either
+    # ("tuber" globbing "tuber_large_<stamp>"): suffix must be a run stamp
+    d = base / "expA_large_20260101_000000" / "checkpoints"
+    d.mkdir(parents=True)
+    (d / "ckpt_epoch_99").mkdir()
+    got = ckpt_lib.latest_checkpoint_any_run(str(base), exp_name="expA")
+    assert got and got.endswith("ckpt_epoch_7")
+    got = ckpt_lib.latest_checkpoint_any_run(str(base), exp_name="expA_large")
+    assert got and got.endswith("ckpt_epoch_99")
 
 
 def test_detr_seed(tmp_path):

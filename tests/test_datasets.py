@@ -184,6 +184,20 @@ def test_loader_pad_to_batch(tmp_path, rng):
     assert keys[4:] == keys[:2]  # wrap-padded with the leading samples
 
 
+def test_loader_pad_shard_smaller_than_pad(tmp_path, rng):
+    """A shard smaller than the required pad must still fill a whole batch
+    (cyclic wrap), not leave a partial batch for drop_last to discard."""
+    _make_ava_fixture(tmp_path, rng)  # 4 keys
+    ds = AVADataset(_cfg(tmp_path), "val")
+    loader = DataLoader(ds, batch_size=8, shuffle=False, num_workers=1,
+                        rank=0, world=1, drop_last=True, pad_to_batch=True)
+    assert len(loader) == 1
+    keys = [k for b in loader for k in b["image_key"]]
+    assert len(keys) == 8
+    assert set(keys) == {k.replace(",", "_") for k in ds.keys}  # all seen
+    assert keys[4:] == keys[:4]  # wrapped a full extra cycle
+
+
 def test_synthetic_dataset(rng):
     cfg = Config()
     cfg.data.img_size = 32

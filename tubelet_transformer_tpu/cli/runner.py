@@ -190,9 +190,12 @@ def run_training(cfg: Config) -> None:
                 import numpy as np
                 from jax.experimental import multihost_utils
 
-                preempted["flag"] = bool(
-                    multihost_utils.process_allgather(
-                        np.int32(preempted["flag"])).max())
+                # never assign over the local flag: a SIGTERM that lands
+                # while the allgather blocks would be overwritten (and
+                # lost for good — the signal is delivered once)
+                if bool(multihost_utils.process_allgather(
+                        np.int32(preempted["flag"])).max()):
+                    preempted["flag"] = True
             if (preempted["flag"] or epoch % cfg.log.save_freq == 0
                     or epoch == cfg.train.epoch_num - 1):
                 # all processes participate (orbax save is a collective;

@@ -70,9 +70,13 @@ class DataLoader:
             per = (n + self.world - 1) // self.world
             idx = np.concatenate([idx, idx[: per * self.world - n]])
             idx = idx[self.rank::self.world]
-        if self.pad_to_batch and len(idx) % self.batch_size:
-            pad = self.batch_size - len(idx) % self.batch_size
-            idx = np.concatenate([idx, idx[:pad]])
+        if self.pad_to_batch and len(idx) and len(idx) % self.batch_size:
+            # np.resize wraps cyclically, so shards smaller than the pad
+            # (tiny val shard, large batch) still fill a whole batch —
+            # a single idx[:pad] wrap would leave a partial batch for
+            # drop_last to silently discard
+            target = -(-len(idx) // self.batch_size) * self.batch_size
+            idx = np.resize(idx, target)
         return idx.tolist()
 
     def __len__(self) -> int:

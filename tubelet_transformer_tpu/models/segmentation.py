@@ -189,7 +189,11 @@ class MaskHeadSmallConv(nn.Module):
         x = nn.relu(gn("gn1")(conv(self.dim, "lay1")(x)))
         x = nn.relu(gn("gn2")(conv(inter[1], "lay2")(x)))
 
-        for i, (fdim, ich) in enumerate(zip(self.fpn_dims, inter[2:5])):
+        if not (len(self.fpn_dims) == len(fpns) == 3):
+            raise ValueError(
+                f"MaskHeadSmallConv expects exactly 3 FPN levels, got "
+                f"{len(self.fpn_dims)} dims / {len(fpns)} features")
+        for i, ich in enumerate(inter[2:5]):
             cur = nn.Conv(inter[i + 1], (1, 1), dtype=dt,
                           name=f"adapter{i + 1}")(fpns[i].astype(dt))
             if cur.shape[0] != x.shape[0]:

@@ -94,8 +94,17 @@ def latest_checkpoint_any_run(base_path: str, save_dir: str = "checkpoints",
     BASE_PATH must not cross-resume each other's incompatible states."""
     import glob
 
+    import re
+
     pat = f"{glob.escape(exp_name)}_*" if exp_name else "*"
     cands = glob.glob(os.path.join(base_path, pat, save_dir, "ckpt_epoch_*"))
+    if exp_name:
+        # "{exp_name}_*" would also match sibling experiments whose name
+        # extends ours ("tuber" globs "tuber_large_<stamp>"); require the
+        # suffix to be exactly a run stamp (build_log_dir: %Y%m%d_%H%M%S)
+        rx = re.compile(re.escape(exp_name) + r"_\d{8}_\d{6}$")
+        cands = [p for p in cands if rx.fullmatch(
+            os.path.basename(os.path.dirname(os.path.dirname(p))))]
     if not cands:
         return None
     cands.sort(key=lambda p: (int(p.rsplit("_", 1)[1]), os.path.getmtime(p)))
@@ -212,7 +221,17 @@ def load_orbax_variables(path: str, variables: Dict[str, Any]
     checkpoint directory, ignoring optimizer/schedule state."""
     import orbax.checkpoint as ocp
 
+    import jax
+
+    # partial restore: without an item orbax materializes the whole tree —
+    # including the AdamW opt_state, ~2x the model size — just to be
+    # thrown away here; transforms={} + identity restore_args reads only
+    # the requested subtree from disk
+    item = {"params": variables["params"],
+            "batch_stats": variables["batch_stats"]}
+    restore_args = jax.tree.map(lambda _: ocp.RestoreArgs(), item)
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path))
+    restored = ckptr.restore(os.path.abspath(path), item=item,
+                             transforms={}, restore_args=restore_args)
     return {"params": restored["params"],
             "batch_stats": restored["batch_stats"]}

@@ -113,8 +113,11 @@ def train_classification(base_iter: int, state: TrainState, train_step,
 
         state, loss = train_step(state, jnp.asarray(clips),
                                  jnp.asarray(labels))
-        loss = float(loss)
-        losses.update(loss, len(labels))
+        # loss stays a device future between display steps: a per-step
+        # float() fetch costs a ~30 ms relay round trip and serializes
+        # the pipeline (same policy as loop.train_one_epoch)
+        if step_i % display_freq == 0:
+            losses.update(float(loss), len(labels))
 
         batch_time.update(time.time() - end)
         end = time.time()

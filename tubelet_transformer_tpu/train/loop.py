@@ -114,6 +114,7 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
     loss_meters = {k: AverageMeter(k) for k in
                    ("loss_ce", "loss_ce_b", "loss_bbox", "loss_giou")}
     dump_rows = []
+    dumped_keys = set()
 
     def submit(batch):
         """Dispatch the (async) device work for one batch."""
@@ -167,7 +168,11 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
             person_eval.add_ground_truth(image_key, gxyxy)
             for _, _, bev in band_evals:
                 bev.add_ground_truth(image_key, gxyxy)
-            if dump_dir is not None:
+            if dump_dir is not None and image_key not in dumped_keys:
+                # pad_to_batch wrap-duplicates samples; the evaluators
+                # dedupe per add() call but the dump must too, or the
+                # txt cross-check counts the duplicates as extra FPs
+                dumped_keys.add(image_key)
                 for q in range(det_boxes.shape[0]):
                     dump_rows.append((image_key, list(det_boxes[q]) +
                                       list(gathered["scores"][i][q]) +
