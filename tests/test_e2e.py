@@ -93,6 +93,48 @@ def test_training_smoke_jhmdb(tmp_path):
     runner.run_training(cfg)
 
 
+def test_training_smoke_with_lfb(tmp_path):
+    """USE_LFB end to end through the runner: the loader ships bank windows,
+    the train/eval steps feed them into the model, and the trained state
+    carries the lfb fusion params (reference plumbing
+    video_action_recognition.py:109-139 — live here, bank included)."""
+    import glob
+
+    from tubelet_transformer_tpu.eval.lfb import FeatureBank
+
+    cfg = _smoke_cfg(tmp_path)
+    cfg.data.synthetic_size = 8
+    rng = np.random.default_rng(0)
+    bank = FeatureBank(feat_dim=16, slots_per_frame=2)
+    for s in range(900, 908):  # the synthetic dataset's keys
+        bank.add(f"synth,{s:04d}",
+                 rng.normal(0, 1, (2, 16)).astype(np.float32),
+                 np.array([0.95, 0.9]))
+    bank_path = str(tmp_path / "bank.npz")
+    bank.save(bank_path)
+
+    cfg.use_lfb = True
+    cfg.lfb.bank_path = bank_path
+    cfg.lfb.half_window = 2
+    runner.run_training(cfg)
+
+    ckpts = glob.glob(str(tmp_path / "*" / "checkpoints" / "ckpt_epoch_*"))
+    assert ckpts, "no checkpoint written"
+    # the fusion params exist (init saw the bank batch) and were trained
+    import orbax.checkpoint as ocp
+
+    restored = ocp.PyTreeCheckpointer().restore(ckpts[0])
+    assert "lfb_proj" in restored["params"]
+    assert "lfb_attn" in restored["params"]
+
+
+def test_use_lfb_requires_bank_path(tmp_path):
+    cfg = _smoke_cfg(tmp_path)
+    cfg.use_lfb = True
+    with pytest.raises(ValueError, match="BANK_PATH"):
+        runner.run_training(cfg)
+
+
 def test_two_stream_guard(tmp_path):
     """TWO_STREAM is loop plumbing in the reference with no shipped model
     or config using it; we refuse it explicitly (runner._check_supported)."""

@@ -78,6 +78,32 @@ def test_bank_roundtrip_and_window(tmp_path, rng):
     np.testing.assert_array_equal(pad, pad2)
 
 
+def test_bank_attach_dataset(rng):
+    """USE_LFB loader plumbing: every sample carries its keyframe's memory
+    window (reference collate variants, utils/misc.py:284-308)."""
+    from tubelet_transformer_tpu.eval.lfb import BankAttachDataset
+
+    cfg = _cfg()
+    cfg.data.dataset_name = "synthetic"
+    ds = SyntheticAVADataset(cfg, size=4)  # keys synth,0900..0903
+    bank = FeatureBank(feat_dim=8, slots_per_frame=2)
+    marker = np.full((2, 8), 7.0, np.float32)
+    bank.add("synth,0901", marker, np.array([0.95, 0.9]))
+
+    wrapped = BankAttachDataset(ds, bank, half_window=1)
+    assert len(wrapped) == 4
+    s = wrapped.get(0, rng)  # key synth,0900: window covers 0899 + 0901
+    assert s["lfb_features"].shape == (2 * 2, 8)
+    assert s["lfb_mask"].shape == (4,)
+    assert s["lfb_mask"][:2].all()               # 0899 absent -> padded
+    assert not s["lfb_mask"][2:].any()           # 0901 confident slots
+    np.testing.assert_array_equal(s["lfb_features"][2:], marker)
+    s2 = wrapped.get(3, rng)  # key synth,0903: neighbors 0902/0904 absent
+    assert s2["lfb_mask"].all()
+    # base dataset surface still reachable (loader uses .keys)
+    assert wrapped.keys[1] == "synth,0901"
+
+
 def test_generate_bank(rng):
     cfg = _cfg(generate=True)
     cfg.data.dataset_name = "synthetic"

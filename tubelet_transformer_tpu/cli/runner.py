@@ -26,16 +26,35 @@ def build_dataset(cfg: Config, split: str):
     if name == "ava":
         from tubelet_transformer_tpu.data.ava import AVADataset
 
-        return AVADataset(cfg, split)
-    if name in ("jhmdb", "ucf"):
+        ds = AVADataset(cfg, split)
+    elif name in ("jhmdb", "ucf"):
         from tubelet_transformer_tpu.data.jhmdb import JHMDBDataset
 
-        return JHMDBDataset(cfg, split)
-    if name == "synthetic":
+        ds = JHMDBDataset(cfg, split)
+    elif name == "synthetic":
         from tubelet_transformer_tpu.data.synthetic import SyntheticAVADataset
 
-        return SyntheticAVADataset(cfg, size=cfg.data.synthetic_size)
-    raise ValueError(f"unknown dataset {name!r}")
+        ds = SyntheticAVADataset(cfg, size=cfg.data.synthetic_size)
+    else:
+        raise ValueError(f"unknown dataset {name!r}")
+    return _maybe_attach_lfb(cfg, ds)
+
+
+def _maybe_attach_lfb(cfg: Config, ds):
+    """USE_LFB: ship a long-term memory window with every sample, as the
+    reference's collate variants do (utils/misc.py:284-308) — without this
+    the flag would silently train/eval with no long-term context."""
+    if not cfg.use_lfb or cfg.model.generate_lfb:
+        return ds
+    if not cfg.lfb.bank_path:
+        raise ValueError(
+            "USE_LFB needs LFB.BANK_PATH (an .npz feature bank; produce "
+            "one with `python -m tubelet_transformer_tpu.cli.generate_lfb`)")
+    from tubelet_transformer_tpu.eval.lfb import (BankAttachDataset,
+                                                  FeatureBank)
+
+    return BankAttachDataset(ds, FeatureBank.load(cfg.lfb.bank_path),
+                             half_window=cfg.lfb.half_window)
 
 
 def make_loaders(cfg: Config):

@@ -207,6 +207,19 @@ class MeshConfig:
 
 
 @dataclass
+class LFBConfig:
+    """Long-term feature bank knobs (companions of CONFIG.USE_LFB).
+
+    The reference advertises the "+long-term context" capability but ships
+    neither the bank nor its config (README.md:16-26); these are the knobs
+    our implementation (eval/lfb.py) needs to feed the USE_LFB plumbing
+    the reference's loops have (utils/video_action_recognition.py:109-139).
+    """
+    bank_path: str = ""        # .npz from ``cli.generate_lfb``
+    half_window: int = 10      # seconds of context on each side of a keyframe
+
+
+@dataclass
 class Config:
     eval_only: bool = False
     two_stream: bool = False
@@ -220,6 +233,7 @@ class Config:
     loss: LossConfig = field(default_factory=LossConfig)
     log: LogConfig = field(default_factory=LogConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    lfb: LFBConfig = field(default_factory=LFBConfig)
 
     @property
     def num_queries_total(self) -> int:
@@ -254,6 +268,7 @@ _SECTION_MAP = {
     "LOSS_COFS": "loss",
     "LOG": "log",
     "MESH": "mesh",
+    "LFB": "lfb",
 }
 
 _KEY_RENAMES = {

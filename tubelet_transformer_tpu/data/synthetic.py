@@ -21,6 +21,9 @@ class SyntheticAVADataset:
         self.size = size
         c = cfg.data.img_size
         self.canvas = (c, c) if square else T.default_canvas(c)
+        # "vid,ssss" keys like the real AVA dataset — consumed by the
+        # evaluators, the LFB bank, and the bank-window gather
+        self.keys = [f"synth,{900 + i:04d}" for i in range(size)]
 
     def __len__(self) -> int:
         return self.size

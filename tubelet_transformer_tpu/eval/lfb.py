@@ -82,6 +82,41 @@ class FeatureBank:
         return bank
 
 
+class BankAttachDataset:
+    """Dataset wrapper that ships a long-term memory window with each sample.
+
+    The counterpart of the reference's USE_LFB collate variants
+    (utils/misc.py:284-308): there the loader delivers ``lfb_features``
+    alongside the clip and the loops forward them into the model
+    (video_action_recognition.py:109-139). Here the wrapper attaches a
+    fixed-shape ``(L_mem, D)`` memory + True-means-pad mask gathered from a
+    precomputed :class:`FeatureBank` around the sample's keyframe, so the
+    batch stays static-shape for XLA end to end.
+    """
+
+    def __init__(self, base, bank: FeatureBank, half_window: int = 10):
+        if not hasattr(base, "keys"):
+            raise ValueError(
+                "BankAttachDataset needs a dataset with 'vid,ssss' keys")
+        self.base = base
+        self.bank = bank
+        self.half_window = half_window
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getattr__(self, name):
+        return getattr(self.base, name)
+
+    def get(self, index: int, rng) -> Dict:
+        sample = self.base.get(index, rng)
+        vid, sec = self.base.keys[index].rsplit(",", 1)
+        mem, pad = self.bank.window(vid, int(sec), self.half_window)
+        sample["lfb_features"] = mem
+        sample["lfb_mask"] = pad
+        return sample
+
+
 def generate_bank(cfg, model, variables, loader, mesh,
                   threshold: float = 0.8) -> FeatureBank:
     """Run the generate_lfb forward over a loader and fill a bank."""

@@ -39,14 +39,28 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def _lfb_kwargs(batch) -> dict:
+    """Long-term-memory forward kwargs when the loader ships a bank window
+    (reference USE_LFB plumbing, video_action_recognition.py:109-139)."""
+    if "lfb_features" not in batch:
+        return {}
+    return {"lfb_features": jnp.asarray(batch["lfb_features"]),
+            "lfb_mask": jnp.asarray(batch["lfb_mask"])}
+
+
 def create_train_state(cfg: Config, model, rng, sample_batch,
                        steps_per_epoch: int):
     # jit the init: eager flax init dispatches every op separately, which is
     # pathologically slow over a remote-TPU tunnel (minutes for CSN-152).
     clips = device_preprocess(jnp.asarray(sample_batch["clips"]))
     pad_mask = sample_batch.get("pad_mask")
+    # flax init only creates params for modules actually called: a bank
+    # batch must be present at init or the lfb fusion params would be
+    # missing when the train step later feeds lfb_features
+    lfb_kwargs = _lfb_kwargs(sample_batch)
     variables = jax.jit(
-        lambda r: model.init({"params": r}, clips, pad_mask, train=False)
+        lambda r: model.init({"params": r}, clips, pad_mask, train=False,
+                             **lfb_kwargs)
     )(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
@@ -113,7 +127,8 @@ def make_train_step(cfg: Config, model, tx):
             outputs, new_model_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 clips, batch.get("pad_mask"), train=True,
-                mutable=["batch_stats"], rngs={"dropout": step_rng})
+                mutable=["batch_stats"], rngs={"dropout": step_rng},
+                **_lfb_kwargs(batch))
             targets = _targets_from_batch(cfg, batch)
             loss_dict = compute_losses(cfg, outputs, targets)
             total = weighted_total(cfg, loss_dict, loss_ce_weight)
@@ -155,7 +170,7 @@ def make_eval_step(cfg: Config, model):
         outputs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             device_preprocess(batch["clips"]), batch.get("pad_mask"),
-            train=False)
+            train=False, **_lfb_kwargs(batch))
         if cfg.val.compute_losses:
             targets = _targets_from_batch(cfg, batch)
             loss_dict = compute_losses(cfg, outputs, targets,

@@ -30,7 +30,7 @@ from tubelet_transformer_tpu.utils import AverageMeter, MetricsWriter
 
 
 _DEVICE_KEYS = ("clips", "pad_mask", "boxes", "labels", "valid", "sizes",
-                "vis", "key_pos")
+                "vis", "key_pos", "lfb_features", "lfb_mask")
 
 
 def device_batch(batch: Dict, mesh, spatial: bool = False) -> Dict:
