@@ -111,3 +111,62 @@ def test_full_model_parity_ava(rng, strategy):
         np.asarray(out["aux_logits"][0]),
         ref_out["aux_outputs"][0]["pred_logits"].numpy(),
         rtol=1e-3, atol=2e-3)
+
+
+def test_export_to_reference_pth(rng, tmp_path):
+    """Reverse interop: weights trained HERE load into the reference model
+    (its own module names) and reproduce our forward — a reference user can
+    consume checkpoints from this framework."""
+    strategy = "decode"
+    ours = build_model(_our_cfg(strategy))
+    clips = rng.normal(0, 1, (1, T, IMG, IMG, 3)).astype(np.float32)
+    variables = ours.init({"params": __import__("jax").random.PRNGKey(3)},
+                          clips, train=False)
+    # randomize batch stats so eval-mode BN is meaningfully checked
+    import jax
+
+    batch_stats = jax.tree.map(
+        lambda x: np.asarray(rng.normal(0.2, 0.5, x.shape), np.float32) ** 2
+        + 0.1, variables["batch_stats"])
+    params = variables["params"]
+
+    path = str(tmp_path / "exported.pth")
+    tc.export_tuber_pth(path, params, batch_stats, _our_cfg(strategy))
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = tc.strip_module_prefix(ckpt["model"])
+    ref = _build_ref_detr(strategy)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()},
+        strict=False)
+    assert unexpected == [], f"exported keys unknown to reference: {unexpected}"
+    # the only reference params we do not emit: the CSN's dead out_fc head
+    # (never used in forward, ir_CSN_50.py:184-186)
+    assert all("out_fc" in k for k in missing), f"missing: {missing}"
+    ref.eval()
+
+    out = ours.apply({"params": params, "batch_stats": batch_stats},
+                     clips, train=False)
+    misc = load_ref("utils.misc")
+    x = torch.from_numpy(clips.transpose(0, 4, 1, 2, 3))
+    mask = torch.zeros((1, IMG, IMG), dtype=torch.bool)
+    with torch.no_grad():
+        ref_out = ref(misc.NestedTensor(x, mask))
+
+    np.testing.assert_allclose(
+        np.asarray(out["pred_boxes"]), ref_out["pred_boxes"].numpy(),
+        rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]), ref_out["pred_logits"].numpy(),
+        rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits_b"]), ref_out["pred_logits_b"].numpy(),
+        rtol=1e-3, atol=2e-3)
+
+    # round trip through the forward converter is exact
+    params2, stats2 = tc.tuber_params_from_torch_state(
+        ckpt["model"], block_nums=(3, 4, 6, 3), enc_layers=2, dec_layers=2,
+        dataset_mode="ava", temporal_ds_strategy=strategy)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b))
