@@ -1,0 +1,114 @@
+"""Training-curve plots from the metrics JSONL.
+
+Counterpart of the reference's ``models/{detr,transformer}/util/plot_utils.py``
+(COCO-DETR log plotting helpers, unused there) — rebuilt against our own
+observability format: ``MetricsWriter`` JSONL scalars (utils.py:50-86),
+which already carry the reference's tag names (``train/total_loss``,
+``val/val_mAP_epoch``, ...).
+
+Usage:
+  python -m tubelet_transformer_tpu.plots <metrics.jsonl|exp_dir> [-o out.png]
+
+Design: one panel per metric family (losses / val quality / lr), one y-axis
+per panel, fixed colorblind-safe series order (Okabe-Ito), recessive grid.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import Dict, List, Sequence, Tuple
+
+# Okabe-Ito: the standard CVD-safe categorical set; assigned to tags in
+# first-seen order and never cycled past 8 series per panel.
+_PALETTE = ("#0072B2", "#E69F00", "#009E73", "#D55E00",
+            "#CC79A7", "#56B4E9", "#F0E442", "#000000")
+
+
+def load_metrics(path: str) -> Dict[str, Tuple[List[int], List[float]]]:
+    """metrics.jsonl -> {tag: (steps, values)} (file or experiment dir)."""
+    if os.path.isdir(path):
+        for sub in ("metrics.jsonl", os.path.join("tb_log", "metrics.jsonl")):
+            cand = os.path.join(path, sub)
+            if os.path.exists(cand):
+                path = cand
+                break
+    series: Dict[str, Tuple[List[int], List[float]]] = defaultdict(
+        lambda: ([], []))
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            s = series[rec["tag"]]
+            s[0].append(int(rec["step"]))
+            s[1].append(float(rec["value"]))
+    return dict(series)
+
+
+def _panel_of(tag: str) -> str:
+    if "lr" in tag.lower() or "learning_rate" in tag.lower():
+        return "learning rate"
+    if tag.startswith("val"):
+        return "validation"
+    return "training loss"
+
+
+def plot_training(path: str, out_path: str = "training_curves.png",
+                  tags: Sequence[str] = (), dpi: int = 120) -> str:
+    """Render loss / validation / lr panels to a PNG; returns out_path."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    series = load_metrics(path)
+    if tags:
+        series = {t: series[t] for t in tags if t in series}
+    if not series:
+        raise ValueError(f"no metrics found in {path!r}")
+
+    panels: Dict[str, List[str]] = defaultdict(list)
+    for tag in series:
+        panels[_panel_of(tag)].append(tag)
+
+    fig, axes = plt.subplots(len(panels), 1,
+                             figsize=(8, 2.8 * len(panels)), squeeze=False)
+    for ax, (panel, panel_tags) in zip(axes[:, 0], sorted(panels.items())):
+        for i, tag in enumerate(sorted(panel_tags)[:8]):
+            steps, values = series[tag]
+            # short series are invisible as bare lines — mark the points
+            marker = "o" if len(steps) < 3 else None
+            ax.plot(steps, values, color=_PALETTE[i], linewidth=1.5,
+                    label=tag, marker=marker, markersize=5)
+        ax.set_title(panel, fontsize=10, loc="left")
+        ax.grid(True, linewidth=0.4, alpha=0.3)
+        for spine in ("top", "right"):
+            ax.spines[spine].set_visible(False)
+        if len(panel_tags) > 1:
+            ax.legend(fontsize=7, frameon=False)
+        if panel == "training loss" and all(
+                v > 0 for t in panel_tags for v in series[t][1][:1]):
+            ax.set_yscale("log")
+    axes[-1, 0].set_xlabel("step", fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)
+    return out_path
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="Plot TubeR-TPU training curves")
+    p.add_argument("path", help="metrics.jsonl or experiment directory")
+    p.add_argument("-o", "--out", default="training_curves.png")
+    p.add_argument("--tags", nargs="*", default=[])
+    args = p.parse_args()
+    out = plot_training(args.path, args.out, tags=args.tags)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
