@@ -208,3 +208,47 @@ def test_synthetic_dataset(rng):
     s = ds.get(3, rng)
     assert s["clips"].shape == (4, 32, 32, 3)
     assert s["valid"].any()
+
+
+def test_packed_ava_matches_jpeg_path(tmp_path, rng):
+    """Packed shards reproduce the JPEG pipeline exactly: same clip bytes,
+    boxes and transforms for both splits (train under an identical rng)."""
+    from tubelet_transformer_tpu.data.packed import (PackedAVADataset,
+                                                     pack_ava)
+
+    _make_ava_fixture(tmp_path, rng)
+    cfg = _cfg(tmp_path)
+
+    for split in ("val", "train"):
+        out = str(tmp_path / f"packed_{split}")
+        # tiny shard budget forces a multi-shard pack
+        pack_ava(cfg, split, out, shard_bytes=40000, progress_every=0)
+        base = AVADataset(cfg, split)
+        packed = PackedAVADataset(cfg, split, packed_dir=out)
+        assert packed.keys == base.keys
+        import glob as g
+        if split == "val":
+            assert len(g.glob(out + "/shard_*.bin")) > 1
+        for i in range(len(base)):
+            a = base.get(i, np.random.default_rng(7 + i))
+            b = packed.get(i, np.random.default_rng(7 + i))
+            np.testing.assert_array_equal(a["clips"], b["clips"])
+            np.testing.assert_array_equal(a["boxes"], b["boxes"])
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+            np.testing.assert_array_equal(a["valid"], b["valid"])
+            assert a["image_key"] == b["image_key"]
+
+
+def test_packed_rejects_mismatched_config(tmp_path, rng):
+    from tubelet_transformer_tpu.data.packed import (PackedAVADataset,
+                                                     pack_ava)
+    import pytest
+
+    _make_ava_fixture(tmp_path, rng)
+    cfg = _cfg(tmp_path)
+    out = str(tmp_path / "packed_val")
+    pack_ava(cfg, "val", out, progress_every=0)
+    cfg2 = _cfg(tmp_path)
+    cfg2.data.img_size = 40  # val resize differs from the pack's
+    with pytest.raises(ValueError, match="re-pack"):
+        PackedAVADataset(cfg2, "val", packed_dir=out)

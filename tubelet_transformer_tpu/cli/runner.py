@@ -24,9 +24,14 @@ from tubelet_transformer_tpu.utils import MetricsWriter, build_log_dir
 def build_dataset(cfg: Config, split: str):
     name = cfg.data.dataset_name
     if name == "ava":
-        from tubelet_transformer_tpu.data.ava import AVADataset
+        if cfg.data.packed_path:
+            from tubelet_transformer_tpu.data.packed import PackedAVADataset
 
-        ds = AVADataset(cfg, split)
+            ds = PackedAVADataset(cfg, split)
+        else:
+            from tubelet_transformer_tpu.data.ava import AVADataset
+
+            ds = AVADataset(cfg, split)
     elif name in ("jhmdb", "ucf"):
         from tubelet_transformer_tpu.data.jhmdb import JHMDBDataset
 

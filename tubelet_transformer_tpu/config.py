@@ -98,6 +98,10 @@ class DataConfig:
     # the host. data/device_preprocess.py.
     device_preprocess: bool = True
     native_decode: bool = True
+    # Packed-clip shards (data/packed.py): "" = decode JPEGs per sample;
+    # a path (optionally with "{}" for the split) reads pre-decoded shards
+    # written by ``cli.pack_data`` — removes JPEG decode from the hot path.
+    packed_path: str = ""
 
 
 @dataclass

@@ -1,0 +1,194 @@
+"""Packed-clip dataset: pre-decoded shards for TPU-scale input pipelines.
+
+JPEG decode of 32 frames/sample is the host-side bottleneck (SURVEY §7 hard
+part 5: ~5 samples/s/core with the native decoder). A v5e chip consumes
+~74 clips/s in the fine-tune recipe, so feeding a pod slice from JPEGs needs
+dozens of cores per chip. This module removes the decode from the training
+path entirely (FFCV-style):
+
+  * ``pack_ava``: one offline pass over an AVA split — decode every
+    keyframe's clip at the aspect-preserving pre-resize resolution
+    (exactly what ``AVADataset`` feeds its transforms) and append the raw
+    uint8 pixels to large shard files, with annotations and byte offsets in
+    a compact ``index.npz``;
+  * ``PackedAVADataset``: a drop-in replacement for ``AVADataset`` whose
+    ``get`` memory-maps the shard, slices the clip, and runs the same
+    random geometric transforms — per-epoch augmentation randomness is
+    preserved because the pack stores the *pre-transform* clip.
+
+Reading is sequential-friendly (shards are append-ordered by key) and
+~free on CPU: the remaining per-sample work is the crop/flip + canvas pad.
+Photometric work already runs on-device (data/device_preprocess.py).
+
+Storage: ~T*H*W*3 bytes/sample (13 MB at 288p/32f — video packing is a
+disk-for-CPU trade; pack to local NVMe or per-host dataset shards).
+
+Enable via ``DATA.PACKED_PATH`` ("{}" formats the split) after running
+``python -m tubelet_transformer_tpu.cli.pack_data``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tubelet_transformer_tpu.config import Config
+from tubelet_transformer_tpu.data import transforms as T
+from tubelet_transformer_tpu.data.ava import AVADataset
+
+_INDEX = "index.npz"
+_SHARD = "shard_{:04d}.bin"
+
+
+def pack_ava(cfg: Config, split: str, out_dir: str,
+             shard_bytes: int = 1 << 31, limit: Optional[int] = None,
+             progress_every: int = 200) -> str:
+    """Decode an AVA split once and write packed shards + index to out_dir."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds = AVADataset(cfg, split)
+    keys = ds.keys[:limit] if limit else ds.keys
+
+    shard_id, shard_off = 0, 0
+    shard_f = open(os.path.join(out_dir, _SHARD.format(0)), "wb")
+    rec_shard: List[int] = []
+    rec_off: List[int] = []
+    rec_shape: List[List[int]] = []
+    box_off = [0]
+    all_boxes: List[np.ndarray] = []
+    all_labels: List[np.ndarray] = []
+
+    for i, frame_key in enumerate(keys):
+        vid, frame_second = frame_key.split(",")
+        timef = int(frame_second) - 900
+        start = max(timef * 30 - ds.clip_len // 2 * ds.frame_rate, 0)
+        from PIL import Image
+        from glob import glob
+
+        from tubelet_transformer_tpu.data.ava import _frame_dir
+
+        frame_list = sorted(glob(_frame_dir(cfg.data.data_path, vid)
+                                 + "/*.jpg"))
+        if not frame_list:
+            raise FileNotFoundError(f"no frames for {vid}")
+        with Image.open(frame_list[0]) as im:
+            ow, oh = im.size
+        if oh <= ow:
+            nh, nw = ds.resize_size, int(ds.resize_size * (ow / oh))
+        else:
+            nw, nh = ds.resize_size, int(ds.resize_size * (oh / ow))
+
+        boxes, labels = ds._annotation(frame_key, nh, nw)
+        clip = ds._load_frames(vid, start, nh, nw).astype(np.uint8)
+
+        data = np.ascontiguousarray(clip).tobytes()
+        if shard_off and shard_off + len(data) > shard_bytes:
+            shard_f.close()
+            shard_id += 1
+            shard_off = 0
+            shard_f = open(
+                os.path.join(out_dir, _SHARD.format(shard_id)), "wb")
+        rec_shard.append(shard_id)
+        rec_off.append(shard_off)
+        rec_shape.append(list(clip.shape[:3]))
+        shard_f.write(data)
+        shard_off += len(data)
+
+        all_boxes.append(boxes)
+        all_labels.append(labels)
+        box_off.append(box_off[-1] + boxes.shape[0])
+        if progress_every and (i + 1) % progress_every == 0:
+            print(f"packed {i + 1}/{len(keys)}", flush=True)
+
+    shard_f.close()
+    np.savez_compressed(
+        os.path.join(out_dir, _INDEX),
+        keys=np.array(keys),
+        shard=np.asarray(rec_shard, np.int32),
+        offset=np.asarray(rec_off, np.int64),
+        shape=np.asarray(rec_shape, np.int32),
+        box_off=np.asarray(box_off, np.int64),
+        boxes=(np.concatenate(all_boxes) if box_off[-1]
+               else np.zeros((0, 4), np.float32)),
+        labels=(np.concatenate(all_labels) if box_off[-1]
+                else np.zeros((0, cfg.data.num_classes), np.float32)),
+        clip_len=np.int32(ds.clip_len),
+        resize_size=np.int32(ds.resize_size))
+    return out_dir
+
+
+class PackedAVADataset(AVADataset):
+    """AVA samples from packed shards — same output dicts, same transforms,
+    no JPEG decode. Drop-in for ``AVADataset`` (set ``DATA.PACKED_PATH``)."""
+
+    def __init__(self, cfg: Config, split: str,
+                 packed_dir: Optional[str] = None):
+        # mirror AVADataset.__init__ without touching the annotation JSON —
+        # everything needed at read time lives in the pack index
+        self.cfg = cfg
+        self.split = split
+        self.clip_len = cfg.data.temp_len
+        self.frame_rate = cfg.data.frame_rate
+        self.num_classes = cfg.data.num_classes
+        self.img_size = cfg.data.img_size
+        self.resize_size = (cfg.data.img_reshape_size if split == "train"
+                            else cfg.data.img_size)
+        if cfg.data.canvas_h and cfg.data.canvas_w:
+            self.canvas = (cfg.data.canvas_h, cfg.data.canvas_w)
+        else:
+            self.canvas = T.default_canvas(cfg.data.img_size)
+        self.max_boxes = cfg.data.max_boxes
+
+        self.packed_dir = packed_dir or cfg.data.packed_path.format(split)
+        idx = np.load(os.path.join(self.packed_dir, _INDEX),
+                      allow_pickle=False)
+        self.keys = [str(k) for k in idx["keys"]]
+        self._shard_ids = idx["shard"]
+        self._offsets = idx["offset"]
+        self._shapes = idx["shape"]
+        self._box_off = idx["box_off"]
+        self._boxes = idx["boxes"]
+        self._labels = idx["labels"]
+        if int(idx["clip_len"]) != self.clip_len:
+            raise ValueError(
+                f"pack was built with TEMP_LEN={int(idx['clip_len'])}, "
+                f"config asks {self.clip_len}")
+        if int(idx["resize_size"]) != self.resize_size:
+            raise ValueError(
+                f"pack was built at resize {int(idx['resize_size'])}, "
+                f"config asks {self.resize_size} (re-pack for this split)")
+        self._mmaps: Dict[int, np.memmap] = {}
+
+    def _shard(self, sid: int) -> np.memmap:
+        m = self._mmaps.get(sid)
+        if m is None:
+            m = np.memmap(os.path.join(self.packed_dir, _SHARD.format(sid)),
+                          dtype=np.uint8, mode="r")
+            self._mmaps[sid] = m
+        return m
+
+    def _read_record(self, index: int):
+        t, h, w = (int(v) for v in self._shapes[index])
+        nbytes = t * h * w * 3
+        off = int(self._offsets[index])
+        raw = self._shard(int(self._shard_ids[index]))[off:off + nbytes]
+        clip = np.asarray(raw).reshape(t, h, w, 3)
+        b0, b1 = int(self._box_off[index]), int(self._box_off[index + 1])
+        return clip, self._boxes[b0:b1].copy(), self._labels[b0:b1].copy()
+
+    def _try_sample(self, index: int, rng: np.random.Generator):
+        clip, boxes, labels = self._read_record(index)
+        if boxes.shape[0] == 0:
+            return None
+        if self.split == "train":
+            clip, boxes, labels = T.train_transform_ava(
+                clip, boxes, labels, self.img_size, rng,
+                device_mode=self.cfg.data.device_preprocess)
+        else:
+            clip, boxes, labels = T.val_transform_ava(
+                clip, boxes, labels, self.img_size,
+                device_mode=self.cfg.data.device_preprocess)
+        if boxes.shape[0] == 0:
+            return None
+        return self._finalize(clip, boxes, labels, self.keys[index], index)
