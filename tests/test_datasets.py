@@ -252,3 +252,7 @@ def test_packed_rejects_mismatched_config(tmp_path, rng):
     cfg2.data.img_size = 40  # val resize differs from the pack's
     with pytest.raises(ValueError, match="re-pack"):
         PackedAVADataset(cfg2, "val", packed_dir=out)
+    cfg3 = _cfg(tmp_path)
+    cfg3.data.frame_rate = 1  # shards bake in the pack-time frame stride
+    with pytest.raises(ValueError, match="frame_rate"):
+        PackedAVADataset(cfg3, "val", packed_dir=out)

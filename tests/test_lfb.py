@@ -104,6 +104,32 @@ def test_bank_attach_dataset(rng):
     assert wrapped.keys[1] == "synth,0901"
 
 
+def test_bank_attach_follows_resampled_index(rng):
+    """Regression: AVA's empty-target resampling returns a sample from a
+    different keyframe than requested (ava.py:194-202); the memory window
+    must follow the RETURNED keyframe (key_idx), not the requested index."""
+    from tubelet_transformer_tpu.eval.lfb import BankAttachDataset
+
+    class ResamplingBase:
+        keys = ["vidA,0900", "vidB,0900"]
+
+        def __len__(self):
+            return 2
+
+        def get(self, index, rng):
+            # index 0 is "empty" -> the base resamples to index 1
+            return {"key_idx": np.int32(1)}
+
+    bank = FeatureBank(feat_dim=4, slots_per_frame=1)
+    marker = np.full((1, 4), 3.0, np.float32)
+    bank.add("vidB,0901", marker, np.array([0.99]))
+
+    wrapped = BankAttachDataset(ResamplingBase(), bank, half_window=1)
+    s = wrapped.get(0, rng)  # requested 0, base returned keyframe 1 (vidB)
+    assert not s["lfb_mask"][1:].any()  # vidB,0901 found
+    np.testing.assert_array_equal(s["lfb_features"][1:], marker)
+
+
 def test_generate_bank(rng):
     cfg = _cfg(generate=True)
     cfg.data.dataset_name = "synthetic"

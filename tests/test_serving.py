@@ -144,3 +144,44 @@ def test_pool_deadline_scheduling():
     assert set(out2) == {"easy"}
     assert out2["easy"].deadline_met is None  # best-effort stream
     assert pool._due() == []                  # everything served
+
+
+def test_tp_serving_matches_single_device():
+    """Multi-chip serving: params sharded over the 'model' mesh axis must
+    reproduce the replicated detector's outputs (single stream and pool)."""
+    from tubelet_transformer_tpu.parallel import mesh as mesh_lib
+    from tubelet_transformer_tpu.serving import StreamingDetectorPool
+
+    cfg = _cfg(use_lfb=True)
+    base = StreamingDetector(cfg, fps=8.0, detect_every=8)
+    mesh = mesh_lib.create_mesh(2, 4)   # 2 data x 4 model over 8 CPU devs
+    tp = StreamingDetector(cfg, base.variables, fps=8.0, detect_every=8,
+                           mesh=mesh)
+
+    frames = _frames(24, seed=3)
+    got_base = [r for f in frames if (r := base.push_frame(f))]
+    got_tp = [r for f in frames if (r := tp.push_frame(f))]
+    assert len(got_base) == len(got_tp) == 2  # window fills @16, fires @24
+    for rb, rt in zip(got_base, got_tp):
+        assert rb.frame_index == rt.frame_index
+        assert len(rb.detections) == len(rt.detections)
+        for db, dt in zip(rb.detections, rt.detections):
+            np.testing.assert_allclose(db.box, dt.box, atol=1e-3)
+            np.testing.assert_allclose(db.scores, dt.scores, atol=1e-4)
+
+    # pool over the mesh: bucket 2 divides the data axis -> sharded batch
+    pool = StreamingDetectorPool(cfg, base.variables, fps=8.0,
+                                 detect_every=8, max_batch=4, mesh=mesh)
+    pooled_a = []
+    for f in frames:
+        pool.push_frame("a", f)
+        pool.push_frame("b", f)
+        out = pool.step()
+        if "a" in out:
+            pooled_a.append(out["a"])
+    assert len(pooled_a) == len(got_base)
+    for rp, rb in zip(pooled_a, got_base):
+        assert len(rp.detections) == len(rb.detections)
+        for dp, db in zip(rp.detections, rb.detections):
+            np.testing.assert_allclose(dp.box, db.box, atol=1e-3)
+            np.testing.assert_allclose(dp.scores, db.scores, atol=1e-4)

@@ -35,6 +35,14 @@ def main() -> None:
     cfg = load_config(args.config_file)
     if not (cfg.model.load and cfg.model.pretrained_path):
         raise ValueError("export requires MODEL.LOAD with PRETRAINED_PATH")
+    if cfg.use_lfb:
+        # the reference model has no LFB fusion modules, so lfb_proj/
+        # lfb_attn/lfb_norm cannot be represented in its state dict —
+        # exporting would silently drop the trained long-term-context path
+        raise NotImplementedError(
+            "cannot export a USE_LFB checkpoint to reference format: the "
+            "reference ships no LFB module to receive the fusion weights; "
+            "export the base model (USE_LFB: false) instead")
 
     import jax
 

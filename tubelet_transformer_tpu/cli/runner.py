@@ -150,7 +150,17 @@ def run_training(cfg: Config) -> None:
         s: signal.signal(s, _request_stop)
         for s in (signal.SIGTERM, signal.SIGINT)
     }
+    # everything below runs under the handler-restoring try/finally — an
+    # error during setup (bad config, missing bank/data) must not leak
+    # _request_stop into the caller's process
+    try:
+        _run_training_body(cfg, preempted)
+    finally:
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
 
+
+def _run_training_body(cfg: Config, preempted) -> None:
     mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
     is_main = mesh_lib.is_main_process()
     # Every process resolves the SAME run dir (orbax checkpointing is a
@@ -232,8 +242,6 @@ def run_training(cfg: Config) -> None:
                 _validate(cfg, eval_step, state, val_loader, mesh, epoch,
                           writer)
     finally:
-        for s, h in prev_handlers.items():
-            signal.signal(s, h)
         if writer:
             writer.close()
     print(f"Training time {time.time() - t0:.0f}s")

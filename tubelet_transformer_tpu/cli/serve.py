@@ -58,6 +58,12 @@ def main() -> None:
 
     enable_compile_cache()
     cfg = load_config(args.config_file)
+    mesh = None
+    if cfg.mesh.model > 1:
+        # multi-chip serving: TP over the 'model' mesh axis
+        from tubelet_transformer_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
     variables = None
     if cfg.model.load and cfg.model.pretrained_path:
         det_tmp = StreamingDetector(cfg, fps=args.fps)
@@ -65,10 +71,12 @@ def main() -> None:
             cfg, {"params": det_tmp.variables["params"],
                   "batch_stats": det_tmp.variables["batch_stats"]})
         detector = StreamingDetector(cfg, variables, fps=args.fps,
-                                     detect_every=args.detect_every)
+                                     detect_every=args.detect_every,
+                                     mesh=mesh)
     else:
         detector = StreamingDetector(cfg, fps=args.fps,
-                                     detect_every=args.detect_every)
+                                     detect_every=args.detect_every,
+                                     mesh=mesh)
 
     n_frames = 0
     n_keyframes = 0

@@ -66,12 +66,46 @@ class AVADataset:
     def __len__(self) -> int:
         return len(self.keys)
 
-    def _load_frames(self, vid: str, start: int, nh: int, nw: int):
+    def _probe_video(self, vid: str):
+        """Frame list + aspect-preserving short-side pre-resize target
+        (ava_frame.py:86-91); resolution comes from the first frame."""
         frame_list = sorted(glob(_frame_dir(self.cfg.data.data_path, vid)
                                  + "/*.jpg"))
         if not frame_list:
-            raise FileNotFoundError(
-                f"no frames for {vid} under {self.cfg.data.data_path}")
+            return None
+        from PIL import Image
+
+        with Image.open(frame_list[0]) as im:
+            ow, oh = im.size
+        if oh <= ow:
+            nh = self.resize_size
+            nw = int(self.resize_size * (ow / oh))
+        else:
+            nw = self.resize_size
+            nh = int(self.resize_size * (oh / ow))
+        return frame_list, nh, nw
+
+    def decode_record(self, frame_key: str, probe=None,
+                      require_boxes: bool = False):
+        """Pre-transform clip + pixel-space annotations for one keyframe —
+        shared by the JPEG sample path and the pack writer (data/packed.py).
+        Returns (clip uint8 (T,nh,nw,3), boxes, labels) or None.
+        ``require_boxes`` skips the (expensive) frame decode when the
+        keyframe has no usable boxes (the resample path)."""
+        vid, frame_second = frame_key.split(",")
+        timef = int(frame_second) - 900
+        start = max(timef * 30 - self.clip_len // 2 * self.frame_rate, 0)
+        probe = probe or self._probe_video(vid)
+        if probe is None:
+            return None
+        frame_list, nh, nw = probe
+        boxes, labels = self._annotation(frame_key, nh, nw)
+        if require_boxes and boxes.shape[0] == 0:
+            return None
+        clip = self._load_frames(frame_list, start, nh, nw)
+        return clip, boxes, labels
+
+    def _load_frames(self, frame_list, start: int, nh: int, nw: int):
         idxs = np.clip(
             np.arange(start, start + self.clip_len * self.frame_rate,
                       self.frame_rate), 0, len(frame_list) - 1)
@@ -117,31 +151,10 @@ class AVADataset:
 
     def _try_sample(self, index: int, rng: np.random.Generator):
         frame_key = self.keys[index]
-        vid, frame_second = frame_key.split(",")
-        timef = int(frame_second) - 900
-        start = max(timef * 30 - self.clip_len // 2 * self.frame_rate, 0)
-
-        # aspect-preserving short-side pre-resize target (ava_frame.py:86-91)
-        # resolution comes from the first frame.
-        from PIL import Image
-
-        frame_list = sorted(glob(_frame_dir(self.cfg.data.data_path, vid)
-                                 + "/*.jpg"))
-        if not frame_list:
+        rec = self.decode_record(frame_key, require_boxes=True)
+        if rec is None:
             return None
-        with Image.open(frame_list[0]) as im:
-            ow, oh = im.size
-        if oh <= ow:
-            nh = self.resize_size
-            nw = int(self.resize_size * (ow / oh))
-        else:
-            nw = self.resize_size
-            nh = int(self.resize_size * (oh / ow))
-
-        boxes, labels = self._annotation(frame_key, nh, nw)
-        if boxes.shape[0] == 0:
-            return None
-        clip = self._load_frames(vid, start, nh, nw)
+        clip, boxes, labels = rec
 
         if self.split == "train":
             clip, boxes, labels = T.train_transform_ava(

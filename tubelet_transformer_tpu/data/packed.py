@@ -59,28 +59,19 @@ def pack_ava(cfg: Config, split: str, out_dir: str,
     all_boxes: List[np.ndarray] = []
     all_labels: List[np.ndarray] = []
 
+    # keys are video-ordered: cache the last video's frame-dir probe so the
+    # directory scan + first-frame size read run once per video, not per key
+    probe_vid, probe = None, None
     for i, frame_key in enumerate(keys):
-        vid, frame_second = frame_key.split(",")
-        timef = int(frame_second) - 900
-        start = max(timef * 30 - ds.clip_len // 2 * ds.frame_rate, 0)
-        from PIL import Image
-        from glob import glob
-
-        from tubelet_transformer_tpu.data.ava import _frame_dir
-
-        frame_list = sorted(glob(_frame_dir(cfg.data.data_path, vid)
-                                 + "/*.jpg"))
-        if not frame_list:
+        vid = frame_key.split(",")[0]
+        if vid != probe_vid:
+            probe_vid, probe = vid, ds._probe_video(vid)
+        if probe is None:
             raise FileNotFoundError(f"no frames for {vid}")
-        with Image.open(frame_list[0]) as im:
-            ow, oh = im.size
-        if oh <= ow:
-            nh, nw = ds.resize_size, int(ds.resize_size * (ow / oh))
-        else:
-            nw, nh = ds.resize_size, int(ds.resize_size * (oh / ow))
-
-        boxes, labels = ds._annotation(frame_key, nh, nw)
-        clip = ds._load_frames(vid, start, nh, nw).astype(np.uint8)
+        rec = ds.decode_record(frame_key, probe=probe)
+        assert rec is not None
+        clip, boxes, labels = rec
+        clip = clip.astype(np.uint8)
 
         data = np.ascontiguousarray(clip).tobytes()
         if shard_off and shard_off + len(data) > shard_bytes:
@@ -114,6 +105,8 @@ def pack_ava(cfg: Config, split: str, out_dir: str,
         labels=(np.concatenate(all_labels) if box_off[-1]
                 else np.zeros((0, cfg.data.num_classes), np.float32)),
         clip_len=np.int32(ds.clip_len),
+        frame_rate=np.int32(ds.frame_rate),
+        num_classes=np.int32(ds.num_classes),
         resize_size=np.int32(ds.resize_size))
     return out_dir
 
@@ -150,14 +143,16 @@ class PackedAVADataset(AVADataset):
         self._box_off = idx["box_off"]
         self._boxes = idx["boxes"]
         self._labels = idx["labels"]
-        if int(idx["clip_len"]) != self.clip_len:
-            raise ValueError(
-                f"pack was built with TEMP_LEN={int(idx['clip_len'])}, "
-                f"config asks {self.clip_len}")
-        if int(idx["resize_size"]) != self.resize_size:
-            raise ValueError(
-                f"pack was built at resize {int(idx['resize_size'])}, "
-                f"config asks {self.resize_size} (re-pack for this split)")
+        # every pack-time knob the shards bake in must match the config —
+        # a silent mismatch would feed clips the JPEG path never produces
+        for field, want in (("clip_len", self.clip_len),
+                            ("frame_rate", self.frame_rate),
+                            ("num_classes", self.num_classes),
+                            ("resize_size", self.resize_size)):
+            if field in idx and int(idx[field]) != want:
+                raise ValueError(
+                    f"pack was built with {field}={int(idx[field])}, config "
+                    f"asks {want} (re-pack for this split)")
         self._mmaps: Dict[int, np.memmap] = {}
 
     def _shard(self, sid: int) -> np.memmap:

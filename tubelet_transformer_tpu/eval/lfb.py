@@ -110,7 +110,11 @@ class BankAttachDataset:
 
     def get(self, index: int, rng) -> Dict:
         sample = self.base.get(index, rng)
-        vid, sec = self.base.keys[index].rsplit(",", 1)
+        # the base dataset resamples a different random index on empty
+        # targets (ava.py:194-202); the window must follow the keyframe
+        # actually returned, which the sample names via key_idx
+        real_index = int(sample.get("key_idx", index))
+        vid, sec = self.base.keys[real_index].rsplit(",", 1)
         mem, pad = self.bank.window(vid, int(sec), self.half_window)
         sample["lfb_features"] = mem
         sample["lfb_mask"] = pad

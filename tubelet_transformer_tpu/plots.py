@@ -34,6 +34,9 @@ def load_metrics(path: str) -> Dict[str, Tuple[List[int], List[float]]]:
             if os.path.exists(cand):
                 path = cand
                 break
+        else:
+            raise FileNotFoundError(
+                f"no metrics.jsonl (or tb_log/metrics.jsonl) under {path!r}")
     series: Dict[str, Tuple[List[int], List[float]]] = defaultdict(
         lambda: ([], []))
     with open(path) as f:

@@ -126,7 +126,8 @@ class StreamingDetector:
     def __init__(self, cfg: Config, variables=None, *,
                  detect_every: Optional[int] = None, fps: float = 30.0,
                  memory_keyframes: int = 10, memory_slots: int = 5,
-                 actor_threshold: float = 0.8, rng_seed: int = 0):
+                 actor_threshold: float = 0.8, rng_seed: int = 0,
+                 mesh=None):
         self.cfg = cfg
         self.fps = fps
         self.t_len = cfg.data.temp_len
@@ -152,6 +153,28 @@ class StreamingDetector:
                 functools.partial(self.model.init, train=False, **kw)
             )(jax.random.PRNGKey(rng_seed), init_clip)
         self.variables = variables
+
+        # Multi-chip serving: Megatron-style TP over the mesh's 'model'
+        # axis (parallel/sharding_rules.py) — params sharded once here,
+        # GSPMD inserts the ICI collectives in the jitted detect step.
+        # Inputs stay replicated (single-stream batch=1); the pool
+        # additionally shards its batch axis over 'data' when divisible.
+        self.mesh = mesh
+        self._data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from tubelet_transformer_tpu.parallel.sharding_rules import (
+                param_shardings,
+            )
+
+            repl = NamedSharding(mesh, P())
+            shardings = {
+                k: (param_shardings(v, mesh) if k == "params"
+                    else jax.tree.map(lambda _: repl, v))
+                for k, v in self.variables.items()}
+            self.variables = jax.device_put(self.variables, shardings)
+            self._data_sharding = NamedSharding(mesh, P("data"))
 
         self.memory = _Memory(memory_slots, memory_keyframes,
                               cfg.model.d_model) if cfg.use_lfb else None
@@ -293,13 +316,14 @@ class StreamingDetectorPool:
     def __init__(self, cfg: Config, variables=None, *, max_batch: int = 8,
                  detect_every: Optional[int] = None, fps: float = 30.0,
                  memory_keyframes: int = 10, memory_slots: int = 5,
-                 actor_threshold: float = 0.8, rng_seed: int = 0):
+                 actor_threshold: float = 0.8, rng_seed: int = 0,
+                 mesh=None):
         self.max_batch = max_batch
         # template detector owns the model/variables and the prep logic
         self._tpl = StreamingDetector(
             cfg, variables, detect_every=detect_every, fps=fps,
             memory_keyframes=memory_keyframes, memory_slots=memory_slots,
-            actor_threshold=actor_threshold, rng_seed=rng_seed)
+            actor_threshold=actor_threshold, rng_seed=rng_seed, mesh=mesh)
         self._mk = (memory_keyframes, memory_slots)
         self._streams: Dict = {}
 
@@ -400,9 +424,15 @@ class StreamingDetectorPool:
                 mems += [mems[0]] * pad_n
                 mmasks += [mmasks[0]] * pad_n
             t0 = time.perf_counter()
+            batch = [np.stack(clips), np.stack(pads),
+                     np.stack(mems), np.stack(mmasks)]
+            if (t._data_sharding is not None and t.mesh is not None
+                    and bucket % t.mesh.shape.get("data", 1) == 0):
+                # split the padded bucket over the 'data' axis so every
+                # chip works a slice (TP chips still cooperate per slice)
+                batch = [jax.device_put(a, t._data_sharding) for a in batch]
             scores, boxes, binary, feats = jax.device_get(t._detect(
-                t.variables, np.stack(clips), np.stack(pads),
-                np.stack(mems), np.stack(mmasks)))
+                t.variables, *batch))
             lat = (time.perf_counter() - t0) * 1e3
             for i, sid in enumerate(chunk):
                 s = self._streams[sid]
