@@ -221,8 +221,10 @@ def test_packed_ava_matches_jpeg_path(tmp_path, rng):
 
     for split in ("val", "train"):
         out = str(tmp_path / f"packed_{split}")
-        # tiny shard budget forces a multi-shard pack
-        pack_ava(cfg, split, out, shard_bytes=40000, progress_every=0)
+        # tiny shard budget forces a multi-shard pack; train additionally
+        # exercises the threaded decode-ahead path (order-preserving)
+        pack_ava(cfg, split, out, shard_bytes=40000, progress_every=0,
+                 workers=3 if split == "train" else 1)
         base = AVADataset(cfg, split)
         packed = PackedAVADataset(cfg, split, packed_dir=out)
         assert packed.keys == base.keys

@@ -9,6 +9,7 @@ split) to train/eval without any JPEG decode in the hot path.
 """
 
 import argparse
+import os
 
 from tubelet_transformer_tpu.config import load_config
 
@@ -21,12 +22,15 @@ def main() -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--limit", type=int, default=None,
                    help="pack only the first N keyframes (smoke runs)")
+    p.add_argument("--workers", type=int, default=os.cpu_count() or 1,
+                   help="decode threads (native decode releases the GIL)")
     args = p.parse_args()
 
     from tubelet_transformer_tpu.data.packed import pack_ava
 
     cfg = load_config(args.config_file)
-    out = pack_ava(cfg, args.split, args.out, limit=args.limit)
+    out = pack_ava(cfg, args.split, args.out, limit=args.limit,
+                   workers=args.workers)
     print(f"packed {args.split} split to {out}")
 
 

@@ -44,8 +44,13 @@ _SHARD = "shard_{:04d}.bin"
 
 def pack_ava(cfg: Config, split: str, out_dir: str,
              shard_bytes: int = 1 << 31, limit: Optional[int] = None,
-             progress_every: int = 200) -> str:
-    """Decode an AVA split once and write packed shards + index to out_dir."""
+             progress_every: int = 200, workers: int = 1) -> str:
+    """Decode an AVA split once and write packed shards + index to out_dir.
+
+    ``workers`` threads decode ahead of the (sequential, order-preserving)
+    shard writer — JPEG decode releases the GIL in the native path
+    (ctypes.CDLL), so packing scales with host cores.
+    """
     os.makedirs(out_dir, exist_ok=True)
     ds = AVADataset(cfg, split)
     keys = ds.keys[:limit] if limit else ds.keys
@@ -59,20 +64,47 @@ def pack_ava(cfg: Config, split: str, out_dir: str,
     all_boxes: List[np.ndarray] = []
     all_labels: List[np.ndarray] = []
 
-    # keys are video-ordered: cache the last video's frame-dir probe so the
-    # directory scan + first-frame size read run once per video, not per key
-    probe_vid, probe = None, None
-    for i, frame_key in enumerate(keys):
-        vid = frame_key.split(",")[0]
-        if vid != probe_vid:
-            probe_vid, probe = vid, ds._probe_video(vid)
-        if probe is None:
-            raise FileNotFoundError(f"no frames for {vid}")
-        rec = ds.decode_record(frame_key, probe=probe)
-        assert rec is not None
-        clip, boxes, labels = rec
-        clip = clip.astype(np.uint8)
+    # cache the frame-dir probes (directory scan + first-frame size) per
+    # video; bounded so frame lists don't pile up across hundreds of videos
+    from functools import lru_cache
 
+    @lru_cache(maxsize=64)
+    def _probe(vid: str):
+        p = ds._probe_video(vid)
+        if p is None:
+            raise FileNotFoundError(f"no frames for {vid}")
+        return p
+
+    def _decode(frame_key: str):
+        rec = ds.decode_record(frame_key,
+                               probe=_probe(frame_key.split(",")[0]))
+        clip, boxes, labels = rec
+        return clip.astype(np.uint8, copy=False), boxes, labels
+
+    if workers > 1:
+        # decode ahead in threads (bounded queue: clips are ~13 MB each);
+        # the shard writer below stays sequential and order-preserving
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=workers)
+
+        def _records():
+            q: deque = deque()
+            for k in keys:
+                q.append(pool.submit(_decode, k))
+                if len(q) >= workers * 2:
+                    yield q.popleft().result()
+            while q:
+                yield q.popleft().result()
+
+        records = _records()
+    else:
+        pool = None
+        records = map(_decode, keys)
+
+    for i, (frame_key, (clip, boxes, labels)) in enumerate(
+            zip(keys, records)):
         data = np.ascontiguousarray(clip).tobytes()
         if shard_off and shard_off + len(data) > shard_bytes:
             shard_f.close()
@@ -93,6 +125,8 @@ def pack_ava(cfg: Config, split: str, out_dir: str,
             print(f"packed {i + 1}/{len(keys)}", flush=True)
 
     shard_f.close()
+    if pool is not None:
+        pool.shutdown()
     np.savez_compressed(
         os.path.join(out_dir, _INDEX),
         keys=np.array(keys),
