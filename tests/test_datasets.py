@@ -258,3 +258,38 @@ def test_packed_rejects_mismatched_config(tmp_path, rng):
     cfg3.data.frame_rate = 1  # shards bake in the pack-time frame stride
     with pytest.raises(ValueError, match="frame_rate"):
         PackedAVADataset(cfg3, "val", packed_dir=out)
+
+
+def test_packed_jhmdb_matches_png_path(tmp_path, rng):
+    """Per-video JHMDB packing reproduces the PNG pipeline exactly —
+    boundary-padded windows, dummy test box, train transforms under an
+    identical rng."""
+    from tubelet_transformer_tpu.data.packed import (PackedJHMDBDataset,
+                                                     pack_jhmdb)
+
+    _make_jhmdb_fixture(tmp_path, rng)
+    cfg = _cfg(tmp_path, dataset="jhmdb")
+
+    for split in ("val", "train"):
+        out = str(tmp_path / f"packed_jh_{split}")
+        pack_jhmdb(cfg, split, out, progress_every=0,
+                   workers=2 if split == "train" else 1)
+        base = JHMDBDataset(cfg, split)
+        packed = PackedJHMDBDataset(cfg, split, packed_dir=out)
+        assert len(packed) == len(base)
+        for i in range(0, len(base), 3):
+            a = base.get(i, np.random.default_rng(11 + i))
+            b = packed.get(i, np.random.default_rng(11 + i))
+            np.testing.assert_array_equal(a["clips"], b["clips"])
+            np.testing.assert_array_equal(a["boxes"], b["boxes"])
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+            assert a["image_key"] == b["image_key"]
+            assert int(a["vis"]) == int(b["vis"])
+
+    cfg2 = _cfg(tmp_path, dataset="jhmdb")
+    cfg2.data.img_size = 24
+    import pytest
+
+    with pytest.raises(ValueError, match="re-pack"):
+        PackedJHMDBDataset(cfg2, "val",
+                           packed_dir=str(tmp_path / "packed_jh_val"))

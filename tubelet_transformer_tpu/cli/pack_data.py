@@ -26,11 +26,13 @@ def main() -> None:
                    help="decode threads (native decode releases the GIL)")
     args = p.parse_args()
 
-    from tubelet_transformer_tpu.data.packed import pack_ava
+    from tubelet_transformer_tpu.data.packed import pack_ava, pack_jhmdb
 
     cfg = load_config(args.config_file)
-    out = pack_ava(cfg, args.split, args.out, limit=args.limit,
-                   workers=args.workers)
+    packer = (pack_jhmdb if cfg.data.dataset_name in ("jhmdb", "ucf")
+              else pack_ava)
+    out = packer(cfg, args.split, args.out, limit=args.limit,
+                 workers=args.workers)
     print(f"packed {args.split} split to {out}")
 
 

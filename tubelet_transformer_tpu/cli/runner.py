@@ -33,9 +33,16 @@ def build_dataset(cfg: Config, split: str):
 
             ds = AVADataset(cfg, split)
     elif name in ("jhmdb", "ucf"):
-        from tubelet_transformer_tpu.data.jhmdb import JHMDBDataset
+        if cfg.data.packed_path:
+            from tubelet_transformer_tpu.data.packed import (
+                PackedJHMDBDataset,
+            )
 
-        ds = JHMDBDataset(cfg, split)
+            ds = PackedJHMDBDataset(cfg, split)
+        else:
+            from tubelet_transformer_tpu.data.jhmdb import JHMDBDataset
+
+            ds = JHMDBDataset(cfg, split)
     elif name == "synthetic":
         from tubelet_transformer_tpu.data.synthetic import SyntheticAVADataset
 

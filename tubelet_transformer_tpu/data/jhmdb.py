@@ -56,9 +56,9 @@ class JHMDBDataset:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def _load_frames(self, vid: str, mid: int, nh: int, nw: int):
-        from PIL import Image
-
+    def _clip_ids(self, vid: str, mid: int) -> List[int]:
+        """Boundary-padded frame ids for the window centered at ``mid``
+        (reference jhmdb_frame.py:201-208) — shared with the packed reader."""
         p_t = self.clip_len // 2
         nframes = self.dataset["nframes"][vid]
         start = max(mid - p_t, 0)
@@ -67,6 +67,12 @@ class JHMDBDataset:
         if len(ids) < self.clip_len:
             front = (self.clip_len - len(ids)) // 2
             ids = [0] * front + ids + [end] * (self.clip_len - len(ids) - front)
+        return ids
+
+    def _load_frames(self, vid: str, mid: int, nh: int, nw: int):
+        from PIL import Image
+
+        ids = self._clip_ids(vid, mid)
         frames = []
         for i in ids:
             path = os.path.join(self.cfg.data.data_path, vid,
@@ -75,17 +81,19 @@ class JHMDBDataset:
             frames.append(np.asarray(img.resize((nw, nh))))
         return np.stack(frames)
 
+    def _video_resize(self, vid: str) -> Tuple[int, int]:
+        """Aspect-preserving short-side resize target (nh, nw)."""
+        oh, ow = self.dataset["resolution"][vid]
+        if oh <= ow:
+            return self.resize_size, int(self.resize_size * (ow / oh))
+        return int(self.resize_size * (oh / ow)), self.resize_size
+
     def get(self, index: int, rng: np.random.Generator):
         vid, frame_id = self.samples[index]
         p_t = self.clip_len // 2
 
         oh, ow = self.dataset["resolution"][vid]
-        if oh <= ow:
-            nh = self.resize_size
-            nw = int(self.resize_size * (ow / oh))
-        else:
-            nw = self.resize_size
-            nh = int(self.resize_size * (oh / ow))
+        nh, nw = self._video_resize(vid)
 
         boxes, labels = [], []
         vis = 0

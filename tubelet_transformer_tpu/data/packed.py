@@ -221,3 +221,139 @@ class PackedAVADataset(AVADataset):
         if boxes.shape[0] == 0:
             return None
         return self._finalize(clip, boxes, labels, self.keys[index], index)
+
+
+# ---------------------------------------------------------------------------
+# JHMDB / UCF24: per-VIDEO packing (samples are overlapping windows over
+# every frame — packing per sample would duplicate each frame ~T times, so
+# the pack stores each video's full resized frame stack once and the reader
+# slices the boundary-padded window at read time).
+# ---------------------------------------------------------------------------
+
+def pack_jhmdb(cfg: Config, split: str, out_dir: str,
+               shard_bytes: int = 1 << 31, limit: Optional[int] = None,
+               progress_every: int = 50, workers: int = 1) -> str:
+    """Decode a JHMDB/UCF split's videos once into packed shards + index."""
+    from tubelet_transformer_tpu.data.jhmdb import JHMDBDataset
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = JHMDBDataset(cfg, split)
+    vids = list(dict.fromkeys(v for v, _ in ds.samples))  # ordered unique
+    if limit:
+        vids = vids[:limit]
+
+    def _decode(vid: str) -> np.ndarray:
+        from PIL import Image
+
+        nh, nw = ds._video_resize(vid)
+        nframes = ds.dataset["nframes"][vid]
+        frames = []
+        for i in range(nframes):
+            path = os.path.join(cfg.data.data_path, vid,
+                                "{:0>5}.png".format(i + 1))
+            img = Image.open(path).convert("RGB")
+            frames.append(np.asarray(img.resize((nw, nh))))
+        return np.stack(frames).astype(np.uint8, copy=False)
+
+    if workers > 1:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=workers)
+
+        def _stacks():
+            q: deque = deque()
+            for v in vids:
+                q.append(pool.submit(_decode, v))
+                if len(q) >= workers * 2:
+                    yield q.popleft().result()
+            while q:
+                yield q.popleft().result()
+
+        stacks = _stacks()
+    else:
+        pool = None
+        stacks = map(_decode, vids)
+
+    shard_id, shard_off = 0, 0
+    shard_f = open(os.path.join(out_dir, _SHARD.format(0)), "wb")
+    rec_shard: List[int] = []
+    rec_off: List[int] = []
+    rec_shape: List[List[int]] = []
+    for i, (vid, stack) in enumerate(zip(vids, stacks)):
+        data = np.ascontiguousarray(stack).tobytes()
+        if shard_off and shard_off + len(data) > shard_bytes:
+            shard_f.close()
+            shard_id += 1
+            shard_off = 0
+            shard_f = open(
+                os.path.join(out_dir, _SHARD.format(shard_id)), "wb")
+        rec_shard.append(shard_id)
+        rec_off.append(shard_off)
+        rec_shape.append(list(stack.shape[:3]))
+        shard_f.write(data)
+        shard_off += len(data)
+        if progress_every and (i + 1) % progress_every == 0:
+            print(f"packed {i + 1}/{len(vids)} videos", flush=True)
+    shard_f.close()
+    if pool is not None:
+        pool.shutdown()
+    np.savez_compressed(
+        os.path.join(out_dir, _INDEX),
+        vids=np.array(vids),
+        shard=np.asarray(rec_shard, np.int32),
+        offset=np.asarray(rec_off, np.int64),
+        shape=np.asarray(rec_shape, np.int32),
+        resize_size=np.int32(ds.resize_size))
+    return out_dir
+
+
+class PackedJHMDBDataset:
+    """JHMDB/UCF24 samples from per-video packed shards.
+
+    Annotations still come from the (small) GT pickle via the base
+    ``JHMDBDataset``; only the frame decode is replaced by a memmap slice.
+    Built by delegation so the transforms / dummy-box / canvas logic stays
+    in exactly one place.
+    """
+
+    def __new__(cls, cfg: Config, split: str,
+                packed_dir: Optional[str] = None):
+        from tubelet_transformer_tpu.data.jhmdb import JHMDBDataset
+
+        self = JHMDBDataset(cfg, split)
+        packed_dir = packed_dir or cfg.data.packed_path.format(split)
+        idx = np.load(os.path.join(packed_dir, _INDEX), allow_pickle=False)
+        if int(idx["resize_size"]) != self.resize_size:
+            raise ValueError(
+                f"pack was built at resize {int(idx['resize_size'])}, "
+                f"config asks {self.resize_size} (re-pack for this split)")
+        vid_row = {str(v): i for i, v in enumerate(idx["vids"])}
+        shard_ids, offsets, shapes = idx["shard"], idx["offset"], idx["shape"]
+        mmaps: Dict[int, np.memmap] = {}
+
+        def _shard(sid: int) -> np.memmap:
+            m = mmaps.get(sid)
+            if m is None:
+                m = np.memmap(os.path.join(packed_dir, _SHARD.format(sid)),
+                              dtype=np.uint8, mode="r")
+                mmaps[sid] = m
+            return m
+
+        def _load_frames(vid: str, mid: int, nh: int, nw: int):
+            row = vid_row.get(vid)
+            if row is None:
+                raise KeyError(f"video {vid!r} missing from pack "
+                               f"{packed_dir!r}")
+            t, h, w = (int(v) for v in shapes[row])
+            if (h, w) != (nh, nw):
+                raise ValueError(
+                    f"pack stores {vid} at {h}x{w}, config asks {nh}x{nw} "
+                    f"(re-pack for this split)")
+            off = int(offsets[row])
+            raw = _shard(int(shard_ids[row]))[off:off + t * h * w * 3]
+            stack = np.asarray(raw).reshape(t, h, w, 3)
+            return stack[np.asarray(self._clip_ids(vid, mid))]
+
+        self._load_frames = _load_frames  # instance override
+        return self
