@@ -194,6 +194,9 @@ class LogConfig:
     save_freq: int = 1
     display_freq: int = 20
     res_dir: str = "tmp"
+    # Capture a jax.profiler device trace of this many train steps (first
+    # epoch, after the compile step) into <exp>/tb_log/profile; 0 = off.
+    profile_steps: int = 0
 
 
 @dataclass

@@ -57,8 +57,26 @@ def train_one_epoch(cfg: Config, train_step, state, loader, mesh, rng,
     n_batches = len(loader)
 
     end = time.time()
+    # LOG.PROFILE_STEPS: device-trace a few steady-state steps of the first
+    # epoch (step 0 is the compile; start after it) — SURVEY §5.1 upgrade
+    # over the reference's wall-clock-only meters
+    prof_steps = cfg.log.profile_steps if epoch == 0 else 0
+    prof_active = False
+
     metrics = {}
     for it, batch in enumerate(loader):
+        if prof_steps and is_main:
+            if it == 1:
+                from tubelet_transformer_tpu import profiling
+
+                _prof = profiling.trace(os.path.join(
+                    writer.log_dir if writer else ".", "profile"))
+                _prof.__enter__()
+                prof_active = True
+            elif prof_active and it == 1 + prof_steps:
+                jax.device_get(metrics)  # flush queued device work
+                _prof.__exit__(None, None, None)
+                prof_active = False
         data_time.update(time.time() - end)
         db = device_batch(batch, mesh, cfg.mesh.spatial)
         state, metrics = train_step(state, db, rng, loss_ce_w)
@@ -85,6 +103,8 @@ def train_one_epoch(cfg: Config, train_step, state, loader, mesh, rng,
                     for k, m in meters.items():
                         writer.add_scalar(f"train/{k}", m.val, gstep)
         end = time.time()
+    if prof_active:
+        _prof.__exit__(None, None, None)
     return state, {k: m.avg for k, m in meters.items()}
 
 
