@@ -293,3 +293,25 @@ def test_packed_jhmdb_matches_png_path(tmp_path, rng):
     with pytest.raises(ValueError, match="re-pack"):
         PackedJHMDBDataset(cfg2, "val",
                            packed_dir=str(tmp_path / "packed_jh_val"))
+
+
+def test_packed_ava_multipart_reassembly(tmp_path, rng):
+    """Two machines pack contiguous chunks (num_parts); the reader stitches
+    part_* dirs back into the full split in key order."""
+    from tubelet_transformer_tpu.data.packed import (PackedAVADataset,
+                                                     pack_ava)
+
+    _make_ava_fixture(tmp_path, rng)
+    cfg = _cfg(tmp_path)
+    out = str(tmp_path / "packed_parts")
+    for part in (0, 1):
+        pack_ava(cfg, "val", out, progress_every=0, part=part, num_parts=2)
+    base = AVADataset(cfg, "val")
+    packed = PackedAVADataset(cfg, "val", packed_dir=out)
+    assert packed.keys == base.keys
+    for i in range(len(base)):
+        a = base.get(i, np.random.default_rng(5 + i))
+        b = packed.get(i, np.random.default_rng(5 + i))
+        np.testing.assert_array_equal(a["clips"], b["clips"])
+        np.testing.assert_array_equal(a["boxes"], b["boxes"])
+        np.testing.assert_array_equal(a["labels"], b["labels"])

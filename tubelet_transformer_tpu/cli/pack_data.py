@@ -24,15 +24,26 @@ def main() -> None:
                    help="pack only the first N keyframes (smoke runs)")
     p.add_argument("--workers", type=int, default=os.cpu_count() or 1,
                    help="decode threads (native decode releases the GIL)")
+    p.add_argument("--part", type=int, default=0,
+                   help="this machine's chunk (with --num-parts)")
+    p.add_argument("--num-parts", type=int, default=1,
+                   help="split the key list over N machines; each writes "
+                        "OUT/part_NNN and the reader reassembles them")
     args = p.parse_args()
 
     from tubelet_transformer_tpu.data.packed import pack_ava, pack_jhmdb
 
     cfg = load_config(args.config_file)
-    packer = (pack_jhmdb if cfg.data.dataset_name in ("jhmdb", "ucf")
-              else pack_ava)
-    out = packer(cfg, args.split, args.out, limit=args.limit,
-                 workers=args.workers)
+    if cfg.data.dataset_name in ("jhmdb", "ucf"):
+        if args.num_parts > 1:
+            raise SystemExit("--num-parts applies to AVA packs only "
+                             "(JHMDB/UCF packs are small, per-video)")
+        out = pack_jhmdb(cfg, args.split, args.out, limit=args.limit,
+                         workers=args.workers)
+    else:
+        out = pack_ava(cfg, args.split, args.out, limit=args.limit,
+                       workers=args.workers, part=args.part,
+                       num_parts=args.num_parts)
     print(f"packed {args.split} split to {out}")
 
 

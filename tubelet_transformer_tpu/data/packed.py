@@ -30,7 +30,7 @@ Enable via ``DATA.PACKED_PATH`` ("{}" formats the split) after running
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -44,16 +44,28 @@ _SHARD = "shard_{:04d}.bin"
 
 def pack_ava(cfg: Config, split: str, out_dir: str,
              shard_bytes: int = 1 << 31, limit: Optional[int] = None,
-             progress_every: int = 200, workers: int = 1) -> str:
+             progress_every: int = 200, workers: int = 1,
+             part: int = 0, num_parts: int = 1) -> str:
     """Decode an AVA split once and write packed shards + index to out_dir.
 
     ``workers`` threads decode ahead of the (sequential, order-preserving)
     shard writer — JPEG decode releases the GIL in the native path
     (ctypes.CDLL), so packing scales with host cores.
+
+    ``num_parts``/``part`` split the key list into contiguous chunks so N
+    machines can pack one split concurrently; each writes
+    ``out_dir/part_{part:03d}`` and the reader reassembles every part under
+    ``out_dir`` in order.
     """
+    if num_parts > 1:
+        out_dir = os.path.join(out_dir, f"part_{part:03d}")
     os.makedirs(out_dir, exist_ok=True)
     ds = AVADataset(cfg, split)
     keys = ds.keys[:limit] if limit else ds.keys
+    if num_parts > 1:
+        # contiguous chunks keep each part's keys video-ordered (probe cache)
+        chunks = np.array_split(np.arange(len(keys)), num_parts)
+        keys = [keys[i] for i in chunks[part]]
 
     shard_id, shard_off = 0, 0
     shard_f = open(os.path.join(out_dir, _SHARD.format(0)), "wb")
@@ -168,40 +180,73 @@ class PackedAVADataset(AVADataset):
         self.max_boxes = cfg.data.max_boxes
 
         self.packed_dir = packed_dir or cfg.data.packed_path.format(split)
-        idx = np.load(os.path.join(self.packed_dir, _INDEX),
-                      allow_pickle=False)
-        self.keys = [str(k) for k in idx["keys"]]
-        self._shard_ids = idx["shard"]
-        self._offsets = idx["offset"]
-        self._shapes = idx["shape"]
-        self._box_off = idx["box_off"]
-        self._boxes = idx["boxes"]
-        self._labels = idx["labels"]
-        # every pack-time knob the shards bake in must match the config —
-        # a silent mismatch would feed clips the JPEG path never produces
-        for field, want in (("clip_len", self.clip_len),
-                            ("frame_rate", self.frame_rate),
-                            ("num_classes", self.num_classes),
-                            ("resize_size", self.resize_size)):
-            if field in idx and int(idx[field]) != want:
-                raise ValueError(
-                    f"pack was built with {field}={int(idx[field])}, config "
-                    f"asks {want} (re-pack for this split)")
-        self._mmaps: Dict[int, np.memmap] = {}
+        # a pack is either one directory with index.npz, or a directory of
+        # ``part_NNN`` subpacks written concurrently by several machines
+        # (pack_ava num_parts) — reassembled here in part order
+        if os.path.exists(os.path.join(self.packed_dir, _INDEX)):
+            part_dirs = [self.packed_dir]
+        else:
+            from glob import glob as _glob
 
-    def _shard(self, sid: int) -> np.memmap:
-        m = self._mmaps.get(sid)
+            part_dirs = sorted(_glob(os.path.join(self.packed_dir,
+                                                  "part_*")))
+            if not part_dirs:
+                raise FileNotFoundError(
+                    f"no {_INDEX} or part_*/ under {self.packed_dir!r}")
+        self._dirs = part_dirs
+        keys: List[str] = []
+        dir_ids, shard_ids, offsets, shapes = [], [], [], []
+        box_off: List[int] = [0]
+        boxes_l, labels_l = [], []
+        for d_i, d in enumerate(part_dirs):
+            idx = np.load(os.path.join(d, _INDEX), allow_pickle=False)
+            # every pack-time knob the shards bake in must match the
+            # config — a silent mismatch would feed clips the JPEG path
+            # never produces
+            for field, want in (("clip_len", self.clip_len),
+                                ("frame_rate", self.frame_rate),
+                                ("num_classes", self.num_classes),
+                                ("resize_size", self.resize_size)):
+                if field in idx and int(idx[field]) != want:
+                    raise ValueError(
+                        f"pack {d} was built with {field}="
+                        f"{int(idx[field])}, config asks {want} "
+                        f"(re-pack for this split)")
+            n = len(idx["keys"])
+            keys += [str(k) for k in idx["keys"]]
+            dir_ids.append(np.full(n, d_i, np.int32))
+            shard_ids.append(idx["shard"])
+            offsets.append(idx["offset"])
+            shapes.append(idx["shape"])
+            base = box_off[-1]
+            box_off.extend((idx["box_off"][1:] + base).tolist())
+            boxes_l.append(idx["boxes"])
+            labels_l.append(idx["labels"])
+        self.keys = keys
+        self._dir_ids = np.concatenate(dir_ids)
+        self._shard_ids = np.concatenate(shard_ids)
+        self._offsets = np.concatenate(offsets)
+        self._shapes = np.concatenate(shapes)
+        self._box_off = np.asarray(box_off, np.int64)
+        self._boxes = np.concatenate(boxes_l)
+        self._labels = np.concatenate(labels_l)
+        self._mmaps: Dict[Tuple[int, int], np.memmap] = {}
+
+    def _shard(self, dir_id: int, sid: int) -> np.memmap:
+        m = self._mmaps.get((dir_id, sid))
         if m is None:
-            m = np.memmap(os.path.join(self.packed_dir, _SHARD.format(sid)),
+            m = np.memmap(os.path.join(self._dirs[dir_id],
+                                       _SHARD.format(sid)),
                           dtype=np.uint8, mode="r")
-            self._mmaps[sid] = m
+            self._mmaps[(dir_id, sid)] = m
         return m
 
     def _read_record(self, index: int):
         t, h, w = (int(v) for v in self._shapes[index])
         nbytes = t * h * w * 3
         off = int(self._offsets[index])
-        raw = self._shard(int(self._shard_ids[index]))[off:off + nbytes]
+        raw = self._shard(int(self._dir_ids[index]),
+                          int(self._shard_ids[index]))[off:off + nbytes]
         clip = np.asarray(raw).reshape(t, h, w, 3)
         b0, b1 = int(self._box_off[index]), int(self._box_off[index + 1])
         return clip, self._boxes[b0:b1].copy(), self._labels[b0:b1].copy()
