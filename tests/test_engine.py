@@ -261,3 +261,39 @@ def test_overfit_single_batch(rng):
     assert all(np.isfinite(l) for l in losses)
     last = sum(losses[-3:]) / 3
     assert last < 0.65 * losses[0], (losses[0], last, losses[::5])
+
+
+def test_moe_expert_parallel_matches_replicated(rng):
+    """MODEL.MOE_EXPERTS: the sparse-FFN model trains (finite losses, aux
+    loss reported, params move) and the expert-parallel layout (experts
+    over 'model') reproduces the replicated loss."""
+    from tubelet_transformer_tpu.parallel.sharding_rules import (
+        shard_train_state,
+    )
+
+    cfg = _tiny_cfg()
+    cfg.model.moe_experts = 4
+    cfg.model.moe_top_k = 2
+    model = build_model(cfg)
+    batch = _fake_batch(rng, cfg, 8)
+
+    losses = {}
+    for name, (d, m) in {"dp": (8, 1), "dp_ep": (4, 2)}.items():
+        mesh = mesh_lib.create_mesh(data=d, model=m)
+        db = mesh_lib.shard_batch(batch, mesh)
+        state, tx, _ = engine.create_train_state(
+            cfg, model, jax.random.PRNGKey(0), batch, 10)
+        state = shard_train_state(state, mesh)
+        w1_before = np.asarray(state.params["transformer"]
+                               ["encoder_layer_0"]["moe_ffn"]["expert_w1"])
+        train_step = engine.make_train_step(cfg, model, tx)
+        new_state, metrics = train_step(state, db, jax.random.PRNGKey(1),
+                                        jnp.float32(12.0))
+        assert float(metrics["finite"]) == 1.0
+        assert np.isfinite(float(metrics["loss_moe_aux"]))
+        losses[name] = float(metrics["total_loss"])
+        moved = np.abs(np.asarray(
+            new_state.params["transformer"]["encoder_layer_0"]["moe_ffn"]
+            ["expert_w1"]) - w1_before).max()
+        assert moved > 0
+    np.testing.assert_allclose(losses["dp"], losses["dp_ep"], rtol=1e-4)

@@ -131,6 +131,13 @@ class ModelConfig:
     load_fc: bool = True
     load_detr: bool = False
     tune_point: int = 4              # CSN stages frozen up to this point
+    # Sparse Mixture-of-Experts encoder FFN (models/moe.py): number of
+    # experts (0 = dense FFN, the reference architecture), tokens routed
+    # top-k with a fixed capacity. Expert kernels shard over the mesh
+    # 'model' axis (expert parallelism) — a TPU-native capacity extension.
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
     # TPU-specific: computation dtype of the hot path (params stay fp32).
     compute_dtype: str = "bfloat16"  # 'bfloat16' | 'float32'
     # Custom Pallas kernels on TPU (depthwise conv3d); XLA fallback elsewhere.
@@ -182,6 +189,9 @@ class LossConfig:
     weight_change: int = 1000        # epoch after which loss_ce weight switches
     loss_change_cof: float = 2.0
     clips_max_norm: float = 0.1
+    # Weight of the MoE load-balance auxiliary loss (Switch eq. 4), active
+    # only when MODEL.MOE_EXPERTS > 0.
+    moe_aux_cof: float = 0.01
 
 
 @dataclass

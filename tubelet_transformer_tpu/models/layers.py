@@ -107,7 +107,11 @@ def _activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
 
 class EncoderLayer(nn.Module):
     """DETR post-norm (default) / pre-norm encoder layer
-    (reference transformer.py:131-190)."""
+    (reference transformer.py:131-190).
+
+    ``moe_experts > 0`` swaps the dense FFN for a sparse Mixture-of-Experts
+    FFN (models/moe.py) — a TPU-native capacity extension with no reference
+    analog; the attention block is unchanged."""
 
     d_model: int
     nhead: int
@@ -115,6 +119,9 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     normalize_before: bool = False
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -130,11 +137,26 @@ class EncoderLayer(nn.Module):
                                   dtype=self.dtype, name="self_attn")
         norm1 = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm1")
         norm2 = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm2")
-        lin1 = nn.Dense(self.dim_feedforward, dtype=self.dtype, param_dtype=jnp.float32,
-                        kernel_init=nn.initializers.xavier_uniform(), name="linear1")
-        lin2 = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
-                        kernel_init=nn.initializers.xavier_uniform(), name="linear2")
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        if self.moe_experts > 0:
+            from tubelet_transformer_tpu.models.moe import MoEFFN
+
+            moe = MoEFFN(self.d_model, self.dim_feedforward,
+                         self.moe_experts, self.moe_top_k,
+                         self.moe_capacity_factor, self.dropout,
+                         self.activation, dtype=self.dtype, name="moe_ffn")
+            ffn = lambda x: moe(x, deterministic=deterministic)
+        else:
+            lin1 = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            kernel_init=nn.initializers.xavier_uniform(),
+                            name="linear1")
+            lin2 = nn.Dense(self.d_model, dtype=self.dtype,
+                            param_dtype=jnp.float32,
+                            kernel_init=nn.initializers.xavier_uniform(),
+                            name="linear2")
+            ffn = lambda x: lin2(drop(act(lin1(x))))
 
         def with_pos(x):
             return x if pos is None else x + pos.astype(x.dtype)
@@ -144,12 +166,12 @@ class EncoderLayer(nn.Module):
             qk = with_pos(s2)
             src = src + drop(attn(qk, qk, s2, key_padding_mask, deterministic))
             s2 = norm2(src)
-            src = src + drop(lin2(drop(act(lin1(s2)))))
+            src = src + drop(ffn(s2))
             return src
 
         qk = with_pos(src)
         src = norm1(src + drop(attn(qk, qk, src, key_padding_mask, deterministic)))
-        src = norm2(src + drop(lin2(drop(act(lin1(src))))))
+        src = norm2(src + drop(ffn(src)))
         return src
 
 

@@ -29,6 +29,10 @@ class Transformer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     normalize_before: bool = False
+    # Sparse MoE encoder FFN (models/moe.py); 0 = dense (reference parity).
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -47,8 +51,10 @@ class Transformer(nn.Module):
         for i in range(self.num_encoder_layers):
             memory = EncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                self.activation, self.normalize_before, dtype=self.dtype,
-                name=f"encoder_layer_{i}",
+                self.activation, self.normalize_before,
+                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                dtype=self.dtype, name=f"encoder_layer_{i}",
             )(memory, key_padding_mask=mask, pos=pos_embed,
               deterministic=deterministic)
         if self.normalize_before:

@@ -67,6 +67,11 @@ class TubeR(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     normalize_before: bool = False
+    # Sparse MoE encoder FFN with expert parallelism (models/moe.py); 0 =
+    # dense FFN, the reference's architecture.
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
     backbone_name: str = "CSN-152"
     last_stride: bool = False
     single_frame: bool = True
@@ -96,7 +101,9 @@ class TubeR(nn.Module):
             num_encoder_layers=self.enc_layers,
             num_decoder_layers=self.dec_layers,
             dim_feedforward=self.dim_feedforward, dropout=self.dropout,
-            normalize_before=self.normalize_before, dtype=self.dtype)
+            normalize_before=self.normalize_before,
+            moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor, dtype=self.dtype)
 
         n_q = (self.num_queries if self.dataset_mode == "ava"
                else self.num_queries * self.temporal_length)
@@ -297,6 +304,9 @@ def build_model(cfg: Config) -> TubeR:
         dim_feedforward=cfg.model.dim_feedforward,
         dropout=cfg.model.dropout,
         normalize_before=cfg.model.normalize_before,
+        moe_experts=cfg.model.moe_experts,
+        moe_top_k=cfg.model.moe_top_k,
+        moe_capacity_factor=cfg.model.moe_capacity_factor,
         backbone_name=cfg.model.backbone_name,
         last_stride=cfg.model.last_stride,
         single_frame=cfg.model.single_frame,

@@ -34,6 +34,13 @@ def param_shardings(params, mesh: Mesh):
 
     def rule(path, x):
         p = _path_str(path)
+        # Expert parallelism: MoE expert stacks (models/moe.py — expert_w1
+        # (E,D,F), expert_b1 (E,F), ...) shard the expert axis over 'model';
+        # GSPMD partitions the dispatch/combine einsums into all-to-alls.
+        # The router stays replicated (every chip routes its own tokens).
+        if n_model > 1 and hasattr(x, "ndim") and x.ndim >= 2 \
+                and "expert_" in p and x.shape[0] % n_model == 0:
+            return NamedSharding(mesh, P("model", *([None] * (x.ndim - 1))))
         if n_model > 1 and hasattr(x, "ndim") and x.ndim == 2:
             last = p.rsplit("/", 2)
             name = "/".join(last[-2:])

@@ -127,11 +127,18 @@ def make_train_step(cfg: Config, model, tx):
             outputs, new_model_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 clips, batch.get("pad_mask"), train=True,
-                mutable=["batch_stats"], rngs={"dropout": step_rng},
+                mutable=["batch_stats", "moe"], rngs={"dropout": step_rng},
                 **_lfb_kwargs(batch))
             targets = _targets_from_batch(cfg, batch)
             loss_dict = compute_losses(cfg, outputs, targets)
             total = weighted_total(cfg, loss_dict, loss_ce_weight)
+            # MoE load-balance auxiliary (models/moe.py sows one scalar per
+            # MoE layer into the 'moe' collection); mean over layers.
+            moe_leaves = jax.tree.leaves(new_model_state.get("moe", {}))
+            if moe_leaves:
+                aux = sum(moe_leaves) / len(moe_leaves)
+                loss_dict["loss_moe_aux"] = aux
+                total = total + cfg.loss.moe_aux_cof * aux
             return total, (new_model_state["batch_stats"], loss_dict)
 
         (total, (new_bs, loss_dict)), grads = jax.value_and_grad(
