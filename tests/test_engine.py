@@ -297,3 +297,69 @@ def test_moe_expert_parallel_matches_replicated(rng):
             ["expert_w1"]) - w1_before).max()
         assert moved > 0
     np.testing.assert_allclose(losses["dp"], losses["dp_ep"], rtol=1e-4)
+
+
+def test_pipeline_parallel_train_and_eval(rng):
+    """MESH.PIPE=2: the PP model's deterministic eval losses equal the
+    sequential model's on the same weights (encoder params stacked), and a
+    PP train step on a data x model x pipe mesh is finite and updates the
+    pipe-sharded encoder stack."""
+    from tubelet_transformer_tpu.parallel.pipeline import (
+        stack_encoder_params,
+    )
+    from tubelet_transformer_tpu.parallel.sharding_rules import (
+        shard_train_state,
+    )
+
+    cfg = _tiny_cfg()
+    batch = _fake_batch(rng, cfg, 8)
+
+    # Sequential reference state.
+    model_dp = build_model(cfg)
+    state_dp, _, _ = engine.create_train_state(
+        cfg, model_dp, jax.random.PRNGKey(0), batch, 10)
+    eval_dp = engine.make_eval_step(cfg, model_dp)
+    out_dp = eval_dp(state_dp, batch)
+
+    # PP model on a 2x2x2 mesh, weights copied from the sequential init.
+    cfg_pp = _tiny_cfg()
+    cfg_pp.mesh.model = 2
+    cfg_pp.mesh.pipe = 2
+    cfg_pp.mesh.data = 2
+    mesh = mesh_lib.create_mesh(data=2, model=2, pipe=2)
+    model_pp = build_model(cfg_pp, mesh=mesh)
+    state_pp, tx_pp, _ = engine.create_train_state(
+        cfg_pp, model_pp, jax.random.PRNGKey(0), batch, 10)
+    params_pp = dict(state_pp.params)
+    params_pp["transformer"] = stack_encoder_params(
+        dict(state_dp.params["transformer"]), cfg.model.enc_layers)
+    for k in state_dp.params:
+        if k != "transformer":
+            params_pp[k] = state_dp.params[k]
+    state_pp = state_pp.replace(params=params_pp,
+                                opt_state=tx_pp.init(params_pp),
+                                batch_stats=state_dp.batch_stats)
+    state_pp = shard_train_state(state_pp, mesh)
+    db = mesh_lib.shard_batch(batch, mesh)
+
+    eval_pp = engine.make_eval_step(cfg_pp, model_pp)
+    out_pp = eval_pp(state_pp, db)
+    for k in ("loss_ce", "loss_bbox", "loss_giou", "loss_ce_b"):
+        np.testing.assert_allclose(float(out_pp["losses"][k]),
+                                   float(out_dp["losses"][k]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_pp["scores"]),
+                               np.asarray(out_dp["scores"]),
+                               rtol=1e-4, atol=1e-5)
+
+    # PP train step: finite and the pipe-sharded encoder stack learns.
+    stack_before = np.asarray(jax.device_get(
+        state_pp.params["transformer"]["encoder_stack"]["self_attn"]
+        ["in_proj"]))
+    train_step = engine.make_train_step(cfg_pp, model_pp, tx_pp)
+    new_state, metrics = train_step(state_pp, db, jax.random.PRNGKey(1),
+                                    jnp.float32(12.0))
+    assert float(metrics["finite"]) == 1.0
+    stack_after = np.asarray(jax.device_get(
+        new_state.params["transformer"]["encoder_stack"]["self_attn"]
+        ["in_proj"]))
+    assert np.abs(stack_after - stack_before).max() > 0

@@ -168,7 +168,8 @@ def run_training(cfg: Config) -> None:
 
 
 def _run_training_body(cfg: Config, preempted) -> None:
-    mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
+    mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model,
+                                cfg.mesh.pipe)
     is_main = mesh_lib.is_main_process()
     # Every process resolves the SAME run dir (orbax checkpointing is a
     # collective: all hosts must join each save) — broadcast rank 0's stamp.
@@ -188,11 +189,11 @@ def _run_training_body(cfg: Config, preempted) -> None:
 
     train_loader, val_loader = make_loaders(cfg)
     steps_per_epoch = len(train_loader)
-    model = build_model(cfg)
+    model = build_model(cfg, mesh=mesh)
 
     sample_batch = _sample_batch_from(train_loader)
     state, tx = init_state(cfg, model, steps_per_epoch, sample_batch)
-    if cfg.mesh.model > 1:
+    if cfg.mesh.model > 1 or cfg.mesh.pipe > 1:
         from tubelet_transformer_tpu.parallel.sharding_rules import (
             shard_train_state,
         )
@@ -256,9 +257,10 @@ def _run_training_body(cfg: Config, preempted) -> None:
 
 def run_eval(cfg: Config) -> dict:
     _check_supported(cfg)
-    mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
+    mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model,
+                                cfg.mesh.pipe)
     _, val_loader = make_loaders(cfg)
-    model = build_model(cfg)
+    model = build_model(cfg, mesh=mesh)
     sample_batch = _sample_batch_from(val_loader)
     state, _ = init_state(cfg, model, steps_per_epoch=1,
                           sample_batch=sample_batch)
@@ -272,10 +274,11 @@ def run_eval(cfg: Config) -> dict:
 def run_generate_lfb(cfg: Config, out_path: str = "lfb_bank.npz") -> str:
     """Run the model in generate_lfb mode over the val split and save the
     long-term feature bank (reference GENERATE_LFB hook, never shipped)."""
-    mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model)
+    mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model,
+                                cfg.mesh.pipe)
     cfg.model.generate_lfb = True
     _, val_loader = make_loaders(cfg)
-    model = build_model(cfg)
+    model = build_model(cfg, mesh=mesh)
     sample_batch = _sample_batch_from(val_loader)
     state, _ = init_state(cfg, model, steps_per_epoch=1,
                           sample_batch=sample_batch)

@@ -215,6 +215,12 @@ class MeshConfig:
     DDP, pipelines/launch.py); here the mesh is declarative and extensible."""
     data: int = -1                   # -1: all devices on the 'data' axis
     model: int = 1                   # tensor-parallel axis size (attention heads / FFN)
+    # Pipeline parallelism: stages of the transformer encoder over the
+    # 'pipe' mesh axis (GPipe microbatch schedule, parallel/pipeline.py).
+    # ENC_LAYERS must divide by PIPE; the per-data-shard batch must divide
+    # by PIPE_MICROBATCHES.
+    pipe: int = 1
+    pipe_microbatches: int = 2
     # Spatial (sequence) parallelism: shard the clip H axis over 'model'
     # for the backbone; GSPMD inserts collective-permute halo exchanges
     # for the 3D convs (verified bit-exact vs DP). A TPU-native capability

@@ -14,10 +14,16 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import Mesh
 
 from tubelet_transformer_tpu.models.layers import DecoderLayer, EncoderLayer
+from tubelet_transformer_tpu.parallel.pipeline import (
+    pipeline_apply,
+    stack_layer_params,
+)
 
 
 class Transformer(nn.Module):
@@ -33,7 +39,52 @@ class Transformer(nn.Module):
     moe_experts: int = 0
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25
+    # Pipeline parallelism (parallel/pipeline.py): >1 runs the encoder stack
+    # as GPipe stages over the mesh 'pipe' axis; params live stacked under
+    # 'encoder_stack' (stack_encoder_params converts sequential checkpoints).
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 2
+    mesh: Optional[Mesh] = None
     dtype: jnp.dtype = jnp.float32
+
+    def _pipelined_encoder(self, src, mask, pos_embed, deterministic):
+        """Encoder stack as a GPipe pipeline over the mesh 'pipe' axis.
+
+        Parameters are declared stacked (leading layer axis) under
+        ``encoder_stack`` so ``parallel/sharding_rules.py`` can place each
+        stage's slice on its stage's devices (P('pipe', ...))."""
+        if self.mesh is None:
+            raise ValueError("pipeline_stages > 1 requires a mesh "
+                             "(build_model(cfg, mesh=...))")
+        if self.moe_experts > 0:
+            raise NotImplementedError(
+                "MoE inside the pipelined encoder is not supported; use "
+                "MESH.PIPE=1 with MODEL.MOE_EXPERTS, or dense FFN with PP")
+        layer = EncoderLayer(self.d_model, self.nhead, self.dim_feedforward,
+                             self.dropout, self.activation,
+                             self.normalize_before, dtype=self.dtype)
+
+        def init_stack(rng_key):
+            dummy = jnp.zeros((1, 1, self.d_model), self.dtype)
+            keys = jax.random.split(rng_key, self.num_encoder_layers)
+            return stack_layer_params(
+                [layer.init({"params": k}, dummy)["params"] for k in keys])
+
+        stacked = self.param("encoder_stack", init_stack)
+        mask_arr = (mask if mask is not None
+                    else jnp.zeros(src.shape[:2], dtype=bool))
+        rng_pp = (self.make_rng("dropout")
+                  if (not deterministic and self.dropout > 0.0) else None)
+
+        def layer_fn(p, x, aux, r):
+            rngs = None if r is None else {"dropout": r}
+            return layer.apply({"params": p}, x, aux["mask"], aux["pos"],
+                               deterministic, rngs=rngs)
+
+        return pipeline_apply(layer_fn, stacked, src,
+                              {"mask": mask_arr, "pos": pos_embed},
+                              self.mesh, self.pipeline_microbatches,
+                              rng=rng_pp)
 
     @nn.compact
     def __call__(
@@ -47,16 +98,20 @@ class Transformer(nn.Module):
         b = src.shape[0]
         q = query_embed.shape[0]
 
-        memory = src
-        for i in range(self.num_encoder_layers):
-            memory = EncoderLayer(
-                self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                self.activation, self.normalize_before,
-                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
-                moe_capacity_factor=self.moe_capacity_factor,
-                dtype=self.dtype, name=f"encoder_layer_{i}",
-            )(memory, key_padding_mask=mask, pos=pos_embed,
-              deterministic=deterministic)
+        if self.pipeline_stages > 1:
+            memory = self._pipelined_encoder(src, mask, pos_embed,
+                                             deterministic)
+        else:
+            memory = src
+            for i in range(self.num_encoder_layers):
+                memory = EncoderLayer(
+                    self.d_model, self.nhead, self.dim_feedforward,
+                    self.dropout, self.activation, self.normalize_before,
+                    moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                    moe_capacity_factor=self.moe_capacity_factor,
+                    dtype=self.dtype, name=f"encoder_layer_{i}",
+                )(memory, key_padding_mask=mask, pos=pos_embed,
+                  deterministic=deterministic)
         if self.normalize_before:
             memory = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
                                   name="encoder_norm")(memory)

@@ -72,6 +72,10 @@ class TubeR(nn.Module):
     moe_experts: int = 0
     moe_top_k: int = 1
     moe_capacity_factor: float = 1.25
+    # Pipeline parallelism over the encoder stack (parallel/pipeline.py).
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 2
+    mesh: Optional[object] = None
     backbone_name: str = "CSN-152"
     last_stride: bool = False
     single_frame: bool = True
@@ -103,7 +107,10 @@ class TubeR(nn.Module):
             dim_feedforward=self.dim_feedforward, dropout=self.dropout,
             normalize_before=self.normalize_before,
             moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
-            moe_capacity_factor=self.moe_capacity_factor, dtype=self.dtype)
+            moe_capacity_factor=self.moe_capacity_factor,
+            pipeline_stages=self.pipeline_stages,
+            pipeline_microbatches=self.pipeline_microbatches,
+            mesh=self.mesh, dtype=self.dtype)
 
         n_q = (self.num_queries if self.dataset_mode == "ava"
                else self.num_queries * self.temporal_length)
@@ -289,9 +296,12 @@ class TubeR(nn.Module):
         return out
 
 
-def build_model(cfg: Config) -> TubeR:
+def build_model(cfg: Config, mesh=None) -> TubeR:
     from tubelet_transformer_tpu.train.optimizer import stop_grad_stage
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.mesh.pipe > 1 and mesh is None:
+        raise ValueError("MESH.PIPE > 1 requires build_model(cfg, mesh=...) "
+                         "so the pipelined encoder can shard_map over it")
     return TubeR(
         num_classes=cfg.data.num_classes,
         num_queries=cfg.model.query_num,
@@ -307,6 +317,9 @@ def build_model(cfg: Config) -> TubeR:
         moe_experts=cfg.model.moe_experts,
         moe_top_k=cfg.model.moe_top_k,
         moe_capacity_factor=cfg.model.moe_capacity_factor,
+        pipeline_stages=cfg.mesh.pipe,
+        pipeline_microbatches=cfg.mesh.pipe_microbatches,
+        mesh=mesh if cfg.mesh.pipe > 1 else None,
         backbone_name=cfg.model.backbone_name,
         last_stride=cfg.model.last_stride,
         single_frame=cfg.model.single_frame,

@@ -22,16 +22,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(data: int = -1, model: int = 1,
+def create_mesh(data: int = -1, model: int = 1, pipe: int = 1,
                 devices: Optional[list] = None) -> Mesh:
+    """('data', 'model', 'pipe') mesh. 'pipe' (default 1) carries pipeline
+    stages for the pipelined encoder (parallel/pipeline.py); size-1 axes
+    cost nothing and keep every PartitionSpec valid on every layout."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, ("data", "model"))
+        data = n // (model * pipe)
+    if data * model * pipe != n:
+        raise ValueError(f"mesh {data}x{model}x{pipe} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model, pipe)
+    return Mesh(dev_array, ("data", "model", "pipe"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

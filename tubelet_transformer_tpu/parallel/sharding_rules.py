@@ -32,8 +32,17 @@ def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree for params under the given mesh."""
     n_model = mesh.shape.get("model", 1)
 
+    n_pipe = mesh.shape.get("pipe", 1)
+
     def rule(path, x):
         p = _path_str(path)
+        # Pipeline parallelism: the pipelined encoder's stacked layer params
+        # ('encoder_stack', leading axis = layer) shard over 'pipe' so each
+        # stage's slice lives only on its stage's devices. Checked first —
+        # stacked leaves also contain TP-pattern names like in_proj.
+        if n_pipe > 1 and "encoder_stack" in p and hasattr(x, "ndim") \
+                and x.ndim >= 1 and x.shape[0] % n_pipe == 0:
+            return NamedSharding(mesh, P("pipe", *([None] * (x.ndim - 1))))
         # Expert parallelism: MoE expert stacks (models/moe.py — expert_w1
         # (E,D,F), expert_b1 (E,F), ...) shard the expert axis over 'model';
         # GSPMD partitions the dispatch/combine einsums into all-to-alls.
