@@ -31,6 +31,9 @@ SLOW_MODULES = {
     "test_e2e",
     "test_engine",
     "test_composed_pipeline",
+    # pipeline-parallel exactness + checkpoint-layout roundtrips run the
+    # tiny model many times over shard_map meshes (~2 min on one core)
+    "test_pipeline",
     # Pallas kernels run in (slow) interpret mode on the CPU-only CI mesh;
     # they execute for real under TUBER_TEST_TPU=1
     "test_pallas_stem",

@@ -123,3 +123,139 @@ def test_pipelined_transformer_matches_sequential(layer_setup):
         lambda p, x, mask, q, pos: pp_tr.apply({"params": p}, x, mask, q, pos)
     )(pp_params, x, mask, q, pos))
     np.testing.assert_allclose(y_pp, y_seq, rtol=2e-5, atol=2e-5)
+
+
+def test_checkpoint_loading_into_pp_run(tmp_path):
+    """MODEL.LOAD into a MESH.PIPE run: a sequential-layout orbax checkpoint
+    is unstacked/restacked around the loaders; a PP-shaped checkpoint loads
+    directly. Restored stacked encoder == stack of the sequential params."""
+    from tubelet_transformer_tpu.config import Config
+    from tubelet_transformer_tpu.models.tuber import build_model
+    from tubelet_transformer_tpu.train import checkpoint as ckpt_lib
+    from tubelet_transformer_tpu.train import engine
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+
+    def tiny(pipe):
+        cfg = Config()
+        cfg.data.num_classes = 5
+        cfg.data.max_boxes = 4
+        cfg.data.img_size = 32
+        cfg.data.temp_len = 8
+        cfg.model.backbone_name = "CSN-TINY"
+        cfg.model.query_num = 5
+        cfg.model.temp_len = 8
+        cfg.model.enc_layers = 2
+        cfg.model.dec_layers = 1
+        cfg.model.d_model = 64
+        cfg.model.nhead = 4
+        cfg.model.dim_feedforward = 64
+        cfg.model.compute_dtype = "float32"
+        cfg.model.temporal_ds_strategy = "avg"
+        cfg.mesh.pipe = pipe
+        cfg.mesh.pipe_microbatches = 2
+        return cfg
+
+    batch = {"clips": np.zeros((2, 8, 32, 32, 3), np.float32),
+             "pad_mask": np.zeros((2, 32, 32), bool)}
+
+    # sequential run writes a checkpoint
+    cfg_seq = tiny(pipe=1)
+    model_seq = build_model(cfg_seq)
+    state_seq, _, _ = engine.create_train_state(
+        cfg_seq, model_seq, jax.random.PRNGKey(0), batch, 10)
+    path_seq = ckpt_lib.save_checkpoint(str(tmp_path / "seq"), state_seq,
+                                        epoch=1)
+
+    # PP run loads it
+    cfg_pp = tiny(pipe=2)
+    cfg_pp.model.load = True
+    cfg_pp.model.pretrained_path = path_seq
+    mesh = mesh_lib.create_mesh(1, 1, 2, devices=jax.devices()[:2])
+    model_pp = build_model(cfg_pp, mesh=mesh)
+    state_pp, _, _ = engine.create_train_state(
+        cfg_pp, model_pp, jax.random.PRNGKey(1), batch, 10)
+    vars_pp = {"params": jax.device_get(state_pp.params),
+               "batch_stats": jax.device_get(state_pp.batch_stats)}
+    out = ckpt_lib.load_pretrained(cfg_pp, vars_pp)
+
+    want = stack_encoder_params(
+        dict(jax.device_get(state_seq.params)["transformer"]), 2)
+    got = out["params"]["transformer"]["encoder_stack"]
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(
+            want["encoder_stack"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # non-encoder weights came from the checkpoint too
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["query_embed"]),
+        np.asarray(jax.device_get(state_seq.params)["query_embed"]))
+
+    # a PP-shaped checkpoint loads directly (stacked-first branch)
+    loaded_pp = state_pp.replace(params=out["params"],
+                                 batch_stats=out["batch_stats"])
+    path_pp = ckpt_lib.save_checkpoint(str(tmp_path / "pp"), loaded_pp,
+                                       epoch=1)
+    cfg_pp2 = tiny(pipe=2)
+    cfg_pp2.model.load = True
+    cfg_pp2.model.pretrained_path = path_pp
+    out2 = ckpt_lib.load_pretrained(cfg_pp2, vars_pp)
+    for a, b in zip(
+            jax.tree.leaves(out2["params"]["transformer"]["encoder_stack"]),
+            jax.tree.leaves(want["encoder_stack"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pp_checkpoint_into_sequential_run(tmp_path):
+    """The inverse direction: a PP-trained (stacked) orbax checkpoint loads
+    into a pipe=1 run (export / sequential eval) via stack-restore-unstack;
+    encoder layers must match the original per-layer weights exactly."""
+    from tubelet_transformer_tpu.config import Config
+    from tubelet_transformer_tpu.models.tuber import build_model
+    from tubelet_transformer_tpu.train import checkpoint as ckpt_lib
+    from tubelet_transformer_tpu.train import engine
+
+    cfg = Config()
+    cfg.data.num_classes = 5
+    cfg.data.max_boxes = 4
+    cfg.data.img_size = 32
+    cfg.data.temp_len = 8
+    cfg.model.backbone_name = "CSN-TINY"
+    cfg.model.query_num = 5
+    cfg.model.temp_len = 8
+    cfg.model.enc_layers = 2
+    cfg.model.dec_layers = 1
+    cfg.model.d_model = 64
+    cfg.model.nhead = 4
+    cfg.model.dim_feedforward = 64
+    cfg.model.compute_dtype = "float32"
+    cfg.model.temporal_ds_strategy = "avg"
+    batch = {"clips": np.zeros((2, 8, 32, 32, 3), np.float32),
+             "pad_mask": np.zeros((2, 32, 32), bool)}
+
+    # make a PP-shaped state by stacking a sequential init, save it
+    model = build_model(cfg)
+    state, _, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, 10)
+    seq_params = jax.device_get(state.params)
+    pp_params = dict(seq_params)
+    pp_params["transformer"] = stack_encoder_params(
+        dict(seq_params["transformer"]), 2)
+    path = ckpt_lib.save_checkpoint(
+        str(tmp_path / "pp"), state.replace(params=pp_params), epoch=1)
+
+    # a fresh sequential run loads it
+    cfg.model.load = True
+    cfg.model.pretrained_path = path
+    state2, _, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(7), batch, 10)
+    out = ckpt_lib.load_pretrained(
+        cfg, {"params": jax.device_get(state2.params),
+              "batch_stats": jax.device_get(state2.batch_stats)})
+    for i in range(2):
+        for a, b in zip(
+                jax.tree.leaves(out["params"]["transformer"]
+                                [f"encoder_layer_{i}"]),
+                jax.tree.leaves(seq_params["transformer"]
+                                [f"encoder_layer_{i}"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -199,7 +199,43 @@ def seed_from_detr(cfg: Config, variables: Dict[str, Any],
 def load_pretrained(cfg: Config, variables: Dict[str, Any]) -> Dict[str, Any]:
     """Apply the reference's load order: backbone .mat (if PRETRAINED), then
     DETR seed (deploy_model, model_utils.py:60-61), then full TubeR ckpt
-    (if LOAD)."""
+    (if LOAD).
+
+    Pipeline-parallel runs (MESH.PIPE > 1) hold encoder params stacked
+    under 'encoder_stack'; every foreign format (and sequential orbax
+    checkpoints) uses the per-layer 'encoder_layer_{i}' layout, so the
+    tree is unstacked around the loaders and restacked after. Orbax dirs
+    are first tried in the stacked layout (a checkpoint from another PP
+    run loads directly)."""
+    wants_load = ((cfg.model.pretrained and cfg.model.pretrain_backbone_dir)
+                  or (cfg.model.load_detr
+                      and cfg.model.pretrain_transformer_dir)
+                  or (cfg.model.load and cfg.model.pretrained_path))
+    pp = (wants_load
+          and "encoder_stack" in dict(variables["params"]).get(
+              "transformer", {}))
+    if pp:
+        from tubelet_transformer_tpu.parallel.pipeline import (
+            stack_encoder_params,
+            unstack_encoder_params,
+        )
+
+        if (cfg.model.load and cfg.model.pretrained_path
+                and os.path.isdir(cfg.model.pretrained_path)
+                and _orbax_has_encoder_stack(cfg.model.pretrained_path)):
+            # native PP-shaped orbax checkpoint loads directly (orbax's
+            # partial restore silently keeps item values for keys missing
+            # from the checkpoint, so the layout must be checked, not tried)
+            return load_orbax_variables(cfg.model.pretrained_path, variables)
+        n = cfg.model.enc_layers
+        p = dict(variables["params"])
+        p["transformer"] = unstack_encoder_params(dict(p["transformer"]), n)
+        out = load_pretrained(cfg, {"params": p,
+                                    "batch_stats": variables["batch_stats"]})
+        op = dict(out["params"])
+        op["transformer"] = stack_encoder_params(dict(op["transformer"]), n)
+        return {"params": op, "batch_stats": out["batch_stats"]}
+
     if cfg.model.pretrained and cfg.model.pretrain_backbone_dir:
         variables = load_backbone_mat(cfg, variables)
     if cfg.model.load_detr and cfg.model.pretrain_transformer_dir:
@@ -208,11 +244,45 @@ def load_pretrained(cfg: Config, variables: Dict[str, Any]) -> Dict[str, Any]:
         if os.path.isdir(cfg.model.pretrained_path):
             # one of our own orbax checkpoints (a directory), not a
             # reference .pth — eval CLIs accept either format
-            variables = load_orbax_variables(cfg.model.pretrained_path,
-                                             variables)
+            if _orbax_has_encoder_stack(cfg.model.pretrained_path):
+                # PP-trained checkpoint into a sequential run (export,
+                # pipe=1 eval): restore in the stacked layout, unstack
+                from tubelet_transformer_tpu.parallel.pipeline import (
+                    stack_encoder_params,
+                    unstack_encoder_params,
+                )
+
+                n = cfg.model.enc_layers
+                p = dict(variables["params"])
+                p["transformer"] = stack_encoder_params(
+                    dict(p["transformer"]), n)
+                out = load_orbax_variables(
+                    cfg.model.pretrained_path,
+                    {"params": p, "batch_stats": variables["batch_stats"]})
+                op = dict(out["params"])
+                op["transformer"] = unstack_encoder_params(
+                    dict(op["transformer"]), n)
+                variables = {"params": op,
+                             "batch_stats": out["batch_stats"]}
+            else:
+                variables = load_orbax_variables(cfg.model.pretrained_path,
+                                                 variables)
         else:
             variables = load_tuber_pth(cfg, variables)
     return variables
+
+
+def _orbax_has_encoder_stack(path: str) -> bool:
+    """Whether an orbax checkpoint stores the pipeline-parallel stacked
+    encoder layout ('params/transformer/encoder_stack')."""
+    import orbax.checkpoint as ocp
+
+    try:
+        meta = ocp.PyTreeCheckpointer().metadata(os.path.abspath(path))
+        tree = meta.item_metadata.tree
+        return "encoder_stack" in tree["params"].get("transformer", {})
+    except Exception:
+        return False
 
 
 def load_orbax_variables(path: str, variables: Dict[str, Any]
