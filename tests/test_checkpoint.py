@@ -182,3 +182,27 @@ def test_cosine_schedule_endpoints():
     assert abs(float(sched(10)) - (1e-5 + 0.5 * (1e-4 - 1e-5)
                                    * (1 + np.cos(np.pi * 0.1)))) < 1e-9
     assert abs(float(sched(100)) - 1e-5) < 1e-9
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """LOG.ASYNC_CKPT path: the background save commits after
+    wait_for_checkpoints() and restores identically to a sync save."""
+    cfg = _tiny_cfg()
+    model = build_model(cfg)
+    state, _, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), _batch(cfg), 10)
+    state = state.replace(step=jnp.int32(7))
+
+    path = ckpt_lib.save_checkpoint(str(tmp_path / "ck"), state, epoch=2,
+                                    max_accuracy=0.25, async_save=True)
+    ckpt_lib.wait_for_checkpoints()
+    ckpt_lib.wait_for_checkpoints()  # idempotent
+
+    state2, _, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(1), _batch(cfg), 10)
+    restored, epoch, max_acc = ckpt_lib.load_checkpoint(path, state2)
+    assert epoch == 2 and max_acc == 0.25
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

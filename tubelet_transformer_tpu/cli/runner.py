@@ -241,8 +241,12 @@ def _run_training_body(cfg: Config, preempted) -> None:
             if (preempted["flag"] or epoch % cfg.log.save_freq == 0
                     or epoch == cfg.train.epoch_num - 1):
                 # all processes participate (orbax save is a collective;
-                # the primary host writes the data)
-                ckpt_lib.save_checkpoint(dirs["ckpt"], state, epoch, cfg=cfg)
+                # the primary host writes the data); with LOG.ASYNC_CKPT
+                # the write commits on a background thread and the loop
+                # moves on — the finally-block wait makes it durable
+                # before this function returns
+                ckpt_lib.save_checkpoint(dirs["ckpt"], state, epoch, cfg=cfg,
+                                         async_save=cfg.log.async_ckpt)
             if preempted["flag"]:
                 print(f"preempted: checkpointed epoch {epoch}, exiting")
                 break
@@ -250,6 +254,7 @@ def _run_training_body(cfg: Config, preempted) -> None:
                 _validate(cfg, eval_step, state, val_loader, mesh, epoch,
                           writer)
     finally:
+        ckpt_lib.wait_for_checkpoints()
         if writer:
             writer.close()
     print(f"Training time {time.time() - t0:.0f}s")

@@ -207,6 +207,10 @@ class LogConfig:
     # Capture a jax.profiler device trace of this many train steps (first
     # epoch, after the compile step) into <exp>/tb_log/profile; 0 = off.
     profile_steps: int = 0
+    # Commit checkpoint saves on a background thread (orbax async): the
+    # train loop resumes immediately instead of blocking on the host fetch
+    # + disk write; the runner waits for in-flight saves before exiting.
+    async_ckpt: bool = True
 
 
 @dataclass

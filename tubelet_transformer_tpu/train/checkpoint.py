@@ -31,25 +31,58 @@ from tubelet_transformer_tpu.models.csn import BLOCK_NUMS
 # Native checkpoints
 # ---------------------------------------------------------------------------
 
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every in-flight async save has committed to disk.
+
+    Call before process exit (preemption, end of training) and before
+    reading a checkpoint written by this process."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(ckpt_dir: str, state, epoch: int,
                     max_accuracy: float = 0.0, cfg: Optional[Config] = None,
-                    keep: int = 5) -> str:
+                    keep: int = 5, async_save: bool = False) -> str:
     """Write ``ckpt_epoch_{N}`` with the full train state (rank-0 only caller).
 
     Layout mirrors the reference naming (model_utils.py:118-134).
+
+    ``async_save`` hands the jax.Arrays to orbax's AsyncCheckpointer: the
+    host fetch + serialization + write happen on a background thread so the
+    train loop resumes immediately (the reference's torch.save blocks the
+    loop for the full write). Consecutive saves serialize; call
+    :func:`wait_for_checkpoints` before exiting or reading the file.
     """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, f"ckpt_epoch_{epoch}"))
     os.makedirs(ckpt_dir, exist_ok=True)
+    meta = {"step": int(state.step), "epoch": epoch,
+            "max_accuracy": float(max_accuracy)}
+    if async_save:
+        payload = {"params": state.params,
+                   "batch_stats": state.batch_stats,
+                   "opt_state": state.opt_state, **meta}
+        _async_checkpointer().save(path, payload, force=True)
+        return path
     ckptr = ocp.PyTreeCheckpointer()
     payload = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
-        "step": int(state.step),
-        "epoch": epoch,
-        "max_accuracy": float(max_accuracy),
+        **meta,
     }
     ckptr.save(path, payload, force=True)
     return path
