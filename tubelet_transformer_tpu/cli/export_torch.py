@@ -35,6 +35,10 @@ def main() -> None:
     cfg = load_config(args.config_file)
     if not (cfg.model.load and cfg.model.pretrained_path):
         raise ValueError("export requires MODEL.LOAD with PRETRAINED_PATH")
+    # export always materializes the sequential per-layer encoder layout;
+    # a pipeline-parallel (stacked) checkpoint unstacks inside
+    # load_pretrained, so the PP mesh knob is irrelevant here
+    cfg.mesh.pipe = 1
     if cfg.use_lfb:
         # the reference model has no LFB fusion modules, so lfb_proj/
         # lfb_attn/lfb_norm cannot be represented in its state dict —
