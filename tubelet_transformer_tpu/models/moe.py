@@ -5,9 +5,11 @@ The reference's transformer FFN is dense (models/transformer/transformer.py:
 sparse replacement for the *encoder* FFN: GShard/Switch-style top-k token
 routing with a fixed per-row expert capacity, expressed as dense einsum
 dispatch/combine so every shape is static (XLA requirement) and the expert
-dimension of the stacked kernels can shard over the mesh 'model' axis —
-GSPMD then partitions the dispatch/combine einsums into expert-parallel
-all-to-all exchanges over ICI. No reference analog (SURVEY §2.8 is DP-only);
+dimension of the stacked kernels can shard over the mesh 'model' axis.
+GSPMD keeps each device's expert slice and its per-expert matmuls local and
+inserts all-gather (token dispatch) + all-reduce (output combine) over ICI
+— verified in the compiled HLO: kernels stay (E/n, D, F) per device. No
+reference analog (SURVEY §2.8 is DP-only);
 this is a capacity-scaling capability, off by default (MODEL.MOE_EXPERTS=0).
 
 Routing follows the standard recipe (Switch for k=1, GShard for k=2):

@@ -45,7 +45,8 @@ def param_shardings(params, mesh: Mesh):
             return NamedSharding(mesh, P("pipe", *([None] * (x.ndim - 1))))
         # Expert parallelism: MoE expert stacks (models/moe.py — expert_w1
         # (E,D,F), expert_b1 (E,F), ...) shard the expert axis over 'model';
-        # GSPMD partitions the dispatch/combine einsums into all-to-alls.
+        # GSPMD keeps per-expert compute local and inserts all-gather /
+        # all-reduce for dispatch/combine (verified in compiled HLO).
         # The router stays replicated (every chip routes its own tokens).
         if n_model > 1 and hasattr(x, "ndim") and x.ndim >= 2 \
                 and "expert_" in p and x.shape[0] % n_model == 0:
