@@ -3,10 +3,12 @@
 Usage: python benchmarks/bench_moe.py [batch_size]
 
 Measures the flagship CSN-152 AVA inference throughput with the stock dense
-encoder FFN and with MODEL.MOE_EXPERTS in {4, 8} (top-1 routing) — the
-per-token FLOPs are identical to dense (one expert per token), so the gap is
-pure routing/dispatch overhead. Single chip: experts are NOT sharded here
-(EP needs a multi-chip 'model' axis); this bounds the overhead EP must beat.
+encoder FFN and two MoE variants: 4 experts top-1 (per-token FFN FLOPs
+identical to dense, so its gap is pure routing/dispatch overhead) and
+8 experts top-2 (2x per-token FFN FLOPs + doubled capacity — its gap mixes
+routing cost with the genuinely larger compute). Single chip: experts are
+NOT sharded here (EP needs a multi-chip 'model' axis); the top-1 row bounds
+the overhead EP must beat.
 Methodology identical to bench.py (in-graph K-loop differencing).
 """
 

@@ -114,3 +114,32 @@ def test_expert_parallel_sharding_parity(rng):
     y_ep = np.asarray(jax.jit(lambda p, x: m.apply({"params": p}, x))(
         p_sharded, x_sharded))
     np.testing.assert_allclose(y_ep, y_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_padded_tokens_do_not_consume_capacity(rng):
+    """With pad_mask set, padded tokens get zero output, take no expert
+    capacity (real tokens behind them in raster order still get served),
+    and are excluded from the load-balance statistics."""
+    e = 2
+    x = _x(rng)
+    m = MoEFFN(D, F, num_experts=e, top_k=1, capacity_factor=1.0)
+    v = m.init(jax.random.PRNGKey(5), x)
+    params = dict(v["params"])
+    # zero router -> everything routes to expert 0; capacity = S/2
+    params["router"] = {"kernel": jnp.zeros((D, e), jnp.float32)}
+
+    # first half of every row padded
+    pad = jnp.asarray(np.arange(S)[None, :] < S // 2) & jnp.ones((B, 1), bool)
+    y_pad, st = m.apply({"params": params}, x, True, pad, mutable=["moe"])
+    y_pad = np.asarray(y_pad)
+    # padded tokens: exactly zero output (residual passthrough upstream)
+    assert np.abs(y_pad[:, : S // 2]).max() == 0.0
+    # all real tokens served: capacity S/2 exactly fits the S/2 real tokens
+    assert (np.abs(y_pad[:, S // 2:]).max(axis=-1) > 0).all()
+    # aux over valid tokens only: uniform probs -> exactly 1.0
+    np.testing.assert_allclose(float(jax.tree.leaves(st["moe"])[0]), 1.0,
+                               rtol=1e-6)
+
+    # without the mask, the padded half would exhaust expert 0's capacity
+    y_nomask = np.asarray(m.apply({"params": params}, x))
+    assert np.abs(y_nomask[:, S // 2:]).max() == 0.0

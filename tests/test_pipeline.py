@@ -259,3 +259,73 @@ def test_pp_checkpoint_into_sequential_run(tmp_path):
                 jax.tree.leaves(seq_params["transformer"]
                                 [f"encoder_layer_{i}"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipeline_dropout_decorrelated_across_data_shards(layer_setup):
+    """With dropout active, identical samples on different 'data' shards
+    must draw different masks (the key folds in the data coordinate);
+    within one shard the draw is deterministic given the key."""
+    layer, x, mask, pos, trees = layer_setup
+    mesh = mesh_lib.create_mesh(data=2, model=1, pipe=4)
+    stacked = stack_layer_params(trees)
+    # duplicate the first half of the batch into the second half: shard 0
+    # and shard 1 see identical inputs
+    xd = jnp.concatenate([x[: B // 2], x[: B // 2]], axis=0)
+    maskd = jnp.concatenate([mask[: B // 2], mask[: B // 2]], axis=0)
+    posd = jnp.concatenate([pos[: B // 2], pos[: B // 2]], axis=0)
+
+    drop_layer = EncoderLayer(D, NHEAD, FF, dropout=0.5)
+
+    def layer_fn_d(p, xx, aux, r):
+        return drop_layer.apply({"params": p}, xx, aux["mask"], aux["pos"],
+                                False, rngs={"dropout": r})
+
+    y = jax.jit(lambda st, x, m, p: pipeline_apply(
+        layer_fn_d, st, x, {"mask": m, "pos": p}, mesh, 2,
+        rng=jax.random.PRNGKey(3)))(stacked, xd, maskd, posd)
+    y = np.asarray(y)
+    half0, half1 = y[: B // 2], y[B // 2:]
+    assert np.abs(half0 - half1).max() > 1e-3, \
+        "identical samples on different data shards drew identical dropout"
+
+
+def test_resume_across_pipe_change_refuses(tmp_path):
+    """Full-state resume (load_checkpoint) across a MESH.PIPE change must
+    raise instead of silently partial-restoring the encoder."""
+    from tubelet_transformer_tpu.config import Config
+    from tubelet_transformer_tpu.models.tuber import build_model
+    from tubelet_transformer_tpu.train import checkpoint as ckpt_lib
+    from tubelet_transformer_tpu.train import engine
+
+    cfg = Config()
+    cfg.data.num_classes = 5
+    cfg.data.max_boxes = 4
+    cfg.data.img_size = 32
+    cfg.data.temp_len = 8
+    cfg.model.backbone_name = "CSN-TINY"
+    cfg.model.query_num = 5
+    cfg.model.temp_len = 8
+    cfg.model.enc_layers = 2
+    cfg.model.dec_layers = 1
+    cfg.model.d_model = 64
+    cfg.model.nhead = 4
+    cfg.model.dim_feedforward = 64
+    cfg.model.compute_dtype = "float32"
+    cfg.model.temporal_ds_strategy = "avg"
+    batch = {"clips": np.zeros((2, 8, 32, 32, 3), np.float32),
+             "pad_mask": np.zeros((2, 32, 32), bool)}
+
+    model = build_model(cfg)
+    state, _, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, 10)
+    path = ckpt_lib.save_checkpoint(str(tmp_path / "seq"), state, epoch=1)
+
+    cfg_pp = cfg
+    cfg_pp.mesh.pipe = 2
+    cfg_pp.mesh.pipe_microbatches = 2
+    mesh = mesh_lib.create_mesh(1, 1, 2, devices=jax.devices()[:2])
+    model_pp = build_model(cfg_pp, mesh=mesh)
+    state_pp, _, _ = engine.create_train_state(
+        cfg_pp, model_pp, jax.random.PRNGKey(1), batch, 10)
+    with pytest.raises(ValueError, match="MESH.PIPE"):
+        ckpt_lib.load_checkpoint(path, state_pp)

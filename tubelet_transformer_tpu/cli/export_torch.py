@@ -39,6 +39,13 @@ def main() -> None:
     # a pipeline-parallel (stacked) checkpoint unstacks inside
     # load_pretrained, so the PP mesh knob is irrelevant here
     cfg.mesh.pipe = 1
+    if cfg.model.moe_experts > 0:
+        # the reference encoder FFN is dense linear1/linear2; MoE expert
+        # stacks and the router have no slot in its state dict
+        raise NotImplementedError(
+            "cannot export a MODEL.MOE_EXPERTS checkpoint to reference "
+            "format: the reference transformer has no MoE module; export "
+            "a dense-FFN model instead")
     if cfg.use_lfb:
         # the reference model has no LFB fusion modules, so lfb_proj/
         # lfb_attn/lfb_norm cannot be represented in its state dict —

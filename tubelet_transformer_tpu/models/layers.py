@@ -146,7 +146,9 @@ class EncoderLayer(nn.Module):
                          self.moe_experts, self.moe_top_k,
                          self.moe_capacity_factor, self.dropout,
                          self.activation, dtype=self.dtype, name="moe_ffn")
-            ffn = lambda x: moe(x, deterministic=deterministic)
+            # padded tokens must not consume expert capacity
+            ffn = lambda x: moe(x, deterministic=deterministic,
+                                pad_mask=key_padding_mask)
         else:
             lin1 = nn.Dense(self.dim_feedforward, dtype=self.dtype,
                             param_dtype=jnp.float32,

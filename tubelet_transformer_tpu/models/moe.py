@@ -26,18 +26,11 @@ Routing follows the standard recipe (Switch for k=1, GShard for k=2):
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-
-
-def _activation(name: str):
-    if name == "relu":
-        return nn.relu
-    if name == "gelu":
-        return nn.gelu
-    raise ValueError(f"unsupported activation {name!r}")
 
 
 class MoEFFN(nn.Module):
@@ -58,12 +51,21 @@ class MoEFFN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 pad_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from tubelet_transformer_tpu.models.layers import _activation
+
         b, s, d = x.shape
         e, f, k = self.num_experts, self.dim_feedforward, self.top_k
         assert d == self.d_model
         assert 1 <= k <= e, f"top_k={k} out of range for {e} experts"
         cap = min(s, max(1, math.ceil(s * self.capacity_factor * k / e)))
+        # padded tokens (pad_mask True) must not consume expert capacity or
+        # bias the load-balance statistics; their output combine weight is
+        # zero so the encoder residual passes them through (they are masked
+        # out of attention anyway)
+        valid = (jnp.ones((b, s), jnp.float32) if pad_mask is None
+                 else 1.0 - pad_mask.astype(jnp.float32))       # (B,S)
 
         # Router: float32 numerics (bf16 softmax routing is noisy enough to
         # flip argmax ties between replicas).
@@ -77,7 +79,8 @@ class MoEFFN(nn.Module):
         remaining = probs
         for _ in range(k):
             idx = jnp.argmax(remaining, axis=-1)                # (B,S)
-            onehot = jax.nn.one_hot(idx, e, dtype=jnp.float32)  # (B,S,E)
+            onehot = (jax.nn.one_hot(idx, e, dtype=jnp.float32)
+                      * valid[..., None])                       # (B,S,E)
             slot_masks.append(onehot)
             slot_gates.append(jnp.sum(probs * onehot, axis=-1))  # (B,S)
             remaining = remaining * (1.0 - onehot)
@@ -117,8 +120,10 @@ class MoEFFN(nn.Module):
               + b2.astype(dt)[:, None, None, :])
         y = jnp.einsum("bsec,ebcd->bsd", combine.astype(dt), yo)    # (B,S,D)
 
-        # Switch load-balance loss: fraction routed (first choice) x mean prob.
-        f_e = jnp.mean(slot_masks[0], axis=(0, 1))              # (E,)
-        p_e = jnp.mean(probs, axis=(0, 1))                      # (E,)
+        # Switch load-balance loss: fraction routed (first choice) x mean
+        # prob, both statistics over VALID tokens only.
+        n_valid = jnp.sum(valid) + 1e-9
+        f_e = jnp.sum(slot_masks[0], axis=(0, 1)) / n_valid     # (E,)
+        p_e = jnp.sum(probs * valid[..., None], axis=(0, 1)) / n_valid
         self.sow("moe", "aux_loss", e * jnp.sum(f_e * p_e))
         return y

@@ -119,6 +119,12 @@ def pipeline_apply(
 
     def body(xs, aux_mb, stacked, rng_in):
         stage = jax.lax.axis_index("pipe")
+        if rng_in is not None:
+            # decorrelate dropout across data shards: without this fold
+            # every shard would draw the same mask for its local slice
+            # (the replicated key + identical local shapes). 'model' stays
+            # out of the fold — outputs must remain replicated over it.
+            rng_in = jax.random.fold_in(rng_in, jax.lax.axis_index("data"))
         carry = _pvary(jnp.zeros(xs.shape[1:], xs.dtype), ("data", "pipe"))
         out = _pvary(jnp.zeros_like(xs), ("pipe",))
 

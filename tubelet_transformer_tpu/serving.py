@@ -137,6 +137,10 @@ class StreamingDetector:
         self.actor_threshold = actor_threshold
         self.is_ava = cfg.data.dataset_name not in ("jhmdb", "ucf")
 
+        # serving always runs the sequential encoder; a pipeline-parallel
+        # training YAML still serves (PP checkpoints unstack inside
+        # checkpoint.load_pretrained)
+        cfg.mesh.pipe = 1
         self.model = build_model(cfg)
         if variables is None:
             init_clip = np.zeros(

@@ -89,8 +89,27 @@ def save_checkpoint(ckpt_dir: str, state, epoch: int,
 
 
 def load_checkpoint(path: str, state):
-    """Restore a native checkpoint into an existing TrainState skeleton."""
+    """Restore a native checkpoint into an existing TrainState skeleton.
+
+    Refuses a checkpoint whose encoder layout (sequential
+    ``encoder_layer_{i}`` vs pipeline-parallel ``encoder_stack``) differs
+    from the live state's: orbax's partial restore would silently keep the
+    random-init values for the missing keys (and the optimizer moments
+    cannot be converted reliably). Weight-only loading across a MESH.PIPE
+    change goes through MODEL.LOAD + PRETRAINED_PATH, which converts.
+    """
     import orbax.checkpoint as ocp
+
+    state_pp = "encoder_stack" in dict(state.params).get("transformer", {})
+    ckpt_pp = _orbax_has_encoder_stack(path)
+    if state_pp != ckpt_pp:
+        raise ValueError(
+            f"cannot resume {path!r}: checkpoint encoder layout "
+            f"({'stacked/PP' if ckpt_pp else 'sequential'}) does not match "
+            f"the run's MESH.PIPE setting "
+            f"({'stacked/PP' if state_pp else 'sequential'}). To continue "
+            "training across a MESH.PIPE change, load weights only via "
+            "MODEL.LOAD + MODEL.PRETRAINED_PATH (optimizer state restarts).")
 
     ckptr = ocp.PyTreeCheckpointer()
     target = {
@@ -313,9 +332,15 @@ def _orbax_has_encoder_stack(path: str) -> bool:
     try:
         meta = ocp.PyTreeCheckpointer().metadata(os.path.abspath(path))
         tree = meta.item_metadata.tree
-        return "encoder_stack" in tree["params"].get("transformer", {})
-    except Exception:
+    except (FileNotFoundError, ValueError, AttributeError) as exc:
+        # metadata genuinely absent/unreadable (pre-metadata checkpoint) —
+        # treat as sequential but say so, since a wrong guess here means a
+        # silent partial restore downstream
+        print(f"warning: could not read orbax metadata for {path!r} "
+              f"({type(exc).__name__}: {exc}); assuming sequential "
+              "encoder layout")
         return False
+    return "encoder_stack" in tree["params"].get("transformer", {})
 
 
 def load_orbax_variables(path: str, variables: Dict[str, Any]
