@@ -363,3 +363,78 @@ def test_pipeline_parallel_train_and_eval(rng):
         new_state.params["transformer"]["encoder_stack"]["self_attn"]
         ["in_proj"]))
     assert np.abs(stack_after - stack_before).max() > 0
+
+
+def test_grad_accumulation_matches_manual_microbatching(rng):
+    """TRAIN.ACCUM_STEPS=2 must equal running the two half-batches
+    sequentially by hand (BN stats threaded through) and averaging grads:
+    same total loss, same updated params."""
+    cfg = _tiny_cfg()
+    cfg.model.dropout = 0.0          # decouple from rng bookkeeping
+    model = build_model(cfg)
+    batch = _fake_batch(rng, cfg, 8)
+    state, tx, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, 10)
+
+    cfg_acc = _tiny_cfg()
+    cfg_acc.model.dropout = 0.0
+    cfg_acc.train.accum_steps = 2
+    step_acc = engine.make_train_step(cfg_acc, model, tx)
+    key = jax.random.PRNGKey(1)
+    new_acc, m_acc = step_acc(state.replace(), batch, key,
+                              jnp.float32(12.0))
+    assert float(m_acc["finite"]) == 1.0
+
+    # manual: two half-batches, grads averaged, BN stats sequential
+    import jax as _jax
+    from tubelet_transformer_tpu.data.device_preprocess import (
+        device_preprocess,
+    )
+
+    state2, tx2, _ = engine.create_train_state(
+        cfg, model, _jax.random.PRNGKey(0), batch, 10)
+    step_rng = _jax.random.fold_in(key, state2.step)
+    clips = device_preprocess(jnp.asarray(batch["clips"]),
+                              key=_jax.random.fold_in(step_rng, 1),
+                              jitter=True)
+
+    def half(i, bstats):
+        sl = slice(i * 4, (i + 1) * 4)
+        hb = {k: jnp.asarray(v)[sl] for k, v in batch.items()}
+
+        def loss_fn(params):
+            outputs, st = model.apply(
+                {"params": params, "batch_stats": bstats},
+                clips[sl], hb["pad_mask"], train=True,
+                mutable=["batch_stats", "moe"],
+                rngs={"dropout": _jax.random.fold_in(step_rng, 2 + i)})
+            targets = engine._targets_from_batch(cfg, hb)
+            ld = engine.compute_losses(cfg, outputs, targets)
+            return engine.weighted_total(cfg, ld, jnp.float32(12.0)), \
+                st["batch_stats"]
+
+        (total, new_bstats), grads = _jax.value_and_grad(
+            loss_fn, has_aux=True)(state2.params)
+        return total, new_bstats, grads
+
+    t0, bs1, g0 = half(0, state2.batch_stats)
+    t1, bs2, g1 = half(1, bs1)
+    grads = _jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    total = (t0 + t1) / 2.0
+
+    np.testing.assert_allclose(float(m_acc["total_loss"]), float(total),
+                               rtol=1e-5)
+    updates, _ = tx2.update(grads, state2.opt_state, state2.params)
+    import optax
+    want_params = optax.apply_updates(state2.params, updates)
+    # Adam normalizes by sqrt(v)+eps, amplifying scan-vs-unrolled fp32
+    # fusion noise in the grads; observed max rel diff ~3e-4
+    for a, b in zip(jax.tree.leaves(new_acc.params),
+                    jax.tree.leaves(want_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-6)
+    # BN stats followed the sequential path
+    for a, b in zip(jax.tree.leaves(new_acc.batch_stats),
+                    jax.tree.leaves(bs2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

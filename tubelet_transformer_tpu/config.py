@@ -36,6 +36,13 @@ class TrainConfig:
     optimizer_name: str = "ADAMW"    # reference entry points always build AdamW
     aux_loss: bool = True
     seed: int = 0
+    # Gradient accumulation: split each batch into this many microbatches
+    # inside the jitted step (lax.scan), averaging gradients — the
+    # effective batch is BATCH_SIZE with the activation memory of
+    # BATCH_SIZE/ACCUM_STEPS. Semantics match the reference's multi-GPU
+    # DDP averaging (per-microbatch criterion normalization, BN stats
+    # updated sequentially like smaller batches).
+    accum_steps: int = 1
     # Activation rematerialization for full-backprop training: each CSN
     # bottleneck recomputes its activations in the backward instead of
     # keeping them (jax.checkpoint), trading ~1/3 extra forward FLOPs for

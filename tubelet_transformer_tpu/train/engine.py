@@ -113,19 +113,21 @@ def weighted_total(cfg: Config, loss_dict, loss_ce_weight):
 
 
 def make_train_step(cfg: Config, model, tx):
-    """Build the jitted train step: (state, batch, rng, loss_ce_w) -> ..."""
+    """Build the jitted train step: (state, batch, rng, loss_ce_w) -> ...
 
-    def train_step(state: TrainState, batch, rng, loss_ce_weight):
-        step_rng = jax.random.fold_in(rng, state.step)
+    With TRAIN.ACCUM_STEPS > 1 the batch is split into microbatches inside
+    the step (lax.scan): gradients average, BN statistics update
+    sequentially, and losses are the microbatch means — the reference's
+    multi-GPU DDP semantics (its per-GPU criterion normalizes per shard
+    too), at 1/ACCUM_STEPS the activation memory.
+    """
+    accum = max(1, cfg.train.accum_steps)
 
-        # photometric stage for uint8 clips (host shipped raw pixels);
-        # no-op for float inputs
-        clips = device_preprocess(batch["clips"], key=jax.random.fold_in(
-            step_rng, 1), jitter=True)
-
+    def microbatch_loss(params, batch_stats, batch, clips, step_rng,
+                        loss_ce_weight):
         def loss_fn(params):
             outputs, new_model_state = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 clips, batch.get("pad_mask"), train=True,
                 mutable=["batch_stats", "moe"], rngs={"dropout": step_rng},
                 **_lfb_kwargs(batch))
@@ -141,8 +143,61 @@ def make_train_step(cfg: Config, model, tx):
                 total = total + cfg.loss.moe_aux_cof * aux
             return total, (new_model_state["batch_stats"], loss_dict)
 
-        (total, (new_bs, loss_dict)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def train_step(state: TrainState, batch, rng, loss_ce_weight):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        # photometric stage for uint8 clips (host shipped raw pixels);
+        # no-op for float inputs
+        clips = device_preprocess(batch["clips"], key=jax.random.fold_in(
+            step_rng, 1), jitter=True)
+
+        if accum == 1:
+            (total, (new_bs, loss_dict)), grads = microbatch_loss(
+                state.params, state.batch_stats, batch, clips, step_rng,
+                loss_ce_weight)
+        else:
+            b = clips.shape[0]
+            if b % accum:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"TRAIN.ACCUM_STEPS={accum}")
+
+            def to_mb(x):
+                return jnp.reshape(x, (accum, b // accum) + x.shape[1:])
+
+            mb_keys = [k for k in ("pad_mask", "boxes", "labels", "valid",
+                                   "vis", "key_pos", "lfb_features",
+                                   "lfb_mask") if k in batch]
+            scan_in = ({k: to_mb(jnp.asarray(batch[k])) for k in mb_keys},
+                       to_mb(clips), jnp.arange(accum))
+
+            def body(carry, inp):
+                grads_acc, bstats, total_acc, ld_acc = carry
+                mb_batch, mb_clips, i = inp
+                (total, (bstats, loss_dict)), grads = microbatch_loss(
+                    state.params, bstats, mb_batch, mb_clips,
+                    jax.random.fold_in(step_rng, 2 + i), loss_ce_weight)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                ld_acc = {k: ld_acc[k] + v for k, v in loss_dict.items()}
+                return (grads_acc, bstats, total_acc + total, ld_acc), None
+
+            # the first microbatch runs unscanned to seed the carry pytree
+            # structures (grads, BN stats, the loss_dict key set); the
+            # remaining accum-1 microbatches run under one lax.scan so the
+            # compiled program stays O(1) in ACCUM_STEPS
+            (t0, (bs0, ld0)), g0 = microbatch_loss(
+                state.params, state.batch_stats,
+                jax.tree.map(lambda x: x[0], scan_in[0]), scan_in[1][0],
+                jax.random.fold_in(step_rng, 2), loss_ce_weight)
+            carry = (g0, bs0, t0, ld0)
+            rest = jax.tree.map(lambda x: x[1:], scan_in)
+            (grads, new_bs, total, loss_dict), _ = jax.lax.scan(
+                body, carry, rest)
+            inv = 1.0 / accum
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            total = total * inv
+            loss_dict = {k: v * inv for k, v in loss_dict.items()}
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
