@@ -80,3 +80,32 @@ def test_unknown_key_rejected(tmp_path):
     p.write_text("CONFIG:\n  MODEL:\n    TYPO_KEY: 1\n")
     with pytest.raises(KeyError):
         load_config(str(p))
+
+
+def test_new_knobs_load_from_yaml(tmp_path):
+    """The TPU-native extension knobs map from reference-style YAML keys."""
+    p = tmp_path / "ext.yaml"
+    p.write_text(
+        "CONFIG:\n"
+        "  MODEL:\n"
+        "    MOE_EXPERTS: 4\n"
+        "    MOE_TOP_K: 2\n"
+        "    MOE_CAPACITY_FACTOR: 1.5\n"
+        "  MESH:\n"
+        "    PIPE: 2\n"
+        "    PIPE_MICROBATCHES: 4\n"
+        "  TRAIN:\n"
+        "    ACCUM_STEPS: 2\n"
+        "  LOG:\n"
+        "    ASYNC_CKPT: false\n"
+        "  LOSS_COFS:\n"
+        "    MOE_AUX_COF: 0.05\n")
+    cfg = load_config(str(p))
+    assert cfg.model.moe_experts == 4
+    assert cfg.model.moe_top_k == 2
+    assert cfg.model.moe_capacity_factor == 1.5
+    assert cfg.mesh.pipe == 2
+    assert cfg.mesh.pipe_microbatches == 4
+    assert cfg.train.accum_steps == 2
+    assert cfg.log.async_ckpt is False
+    assert cfg.loss.moe_aux_cof == 0.05
