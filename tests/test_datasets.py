@@ -315,3 +315,87 @@ def test_packed_ava_multipart_reassembly(tmp_path, rng):
         np.testing.assert_array_equal(a["clips"], b["clips"])
         np.testing.assert_array_equal(a["boxes"], b["boxes"])
         np.testing.assert_array_equal(a["labels"], b["labels"])
+
+
+def test_packed_ava_empty_parts_tolerated(tmp_path, rng):
+    """--num-parts larger than the key count leaves some parts empty; the
+    writer must emit concatenable (0,3)-shaped indices and the reader must
+    skip them (review regression)."""
+    from tubelet_transformer_tpu.data.packed import (PackedAVADataset,
+                                                     pack_ava)
+
+    _make_ava_fixture(tmp_path, rng)   # 4 keys
+    cfg = _cfg(tmp_path)
+    out = str(tmp_path / "packed_sparse")
+    for part in range(6):              # parts 4,5 get zero keys
+        pack_ava(cfg, "val", out, progress_every=0, part=part, num_parts=6)
+    base = AVADataset(cfg, "val")
+    packed = PackedAVADataset(cfg, "val", packed_dir=out)
+    assert packed.keys == base.keys
+    a = base.get(0, np.random.default_rng(11))
+    b = packed.get(0, np.random.default_rng(11))
+    np.testing.assert_array_equal(a["clips"], b["clips"])
+
+
+def test_loader_pads_world_larger_than_dataset(tmp_path, rng):
+    """DistributedSampler semantics when pad > n (dataset smaller than the
+    host count): every rank must get the same shard length (wrap-pad), or
+    multi-host eval collectives hang."""
+    from tubelet_transformer_tpu.data.loader import DataLoader
+
+    class Tiny:
+        def __len__(self):
+            return 3
+
+        def get(self, i, rng):
+            return {"clips": np.full((1,), i, np.float32)}
+
+    lengths = set()
+    for rank in range(8):
+        dl = DataLoader(Tiny(), batch_size=1, shuffle=False, rank=rank,
+                        world=8, num_workers=1)
+        idx = dl._indices()
+        lengths.add(len(idx))
+        assert all(0 <= i < 3 for i in idx)
+    assert lengths == {1}
+
+
+def test_loader_releases_consumed_prefetch(tmp_path, rng):
+    """Consumed batches must not stay referenced by the prefetch list for
+    the rest of the epoch (memory leak regression): track liveness of the
+    sample payloads via weakrefs."""
+    import gc
+    import weakref
+
+    from tubelet_transformer_tpu.data.loader import DataLoader
+
+    class Payload(dict):
+        pass
+
+    class DS:
+        def __len__(self):
+            return 16
+
+        def get(self, i, rng):
+            return Payload(clips=np.zeros((4,), np.float32))
+
+    tracked = []
+
+    class DS2(DS):
+        def get(self, i, rng):
+            p = Payload(clips=np.zeros((4,), np.float32))
+            tracked.append(weakref.ref(p))
+            return p
+
+    dl2 = DataLoader(DS2(), batch_size=2, shuffle=False, num_workers=1,
+                     prefetch=1)
+    n = 0
+    for batch in dl2:
+        n += 1
+        if n == 7:
+            gc.collect()
+            # only in-flight prefetch (+ the just-yielded batch) may be
+            # alive; with the leak every consumed sample stayed referenced
+            alive = sum(r() is not None for r in tracked)
+            assert alive <= 3 * 2, f"{alive} stale samples alive"
+        del batch

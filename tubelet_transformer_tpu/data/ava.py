@@ -169,20 +169,10 @@ class AVADataset:
         return self._finalize(clip, boxes, labels, frame_key, index)
 
     def _finalize(self, clip, boxes, labels, frame_key, index):
-        # boxes here are already normalized cxcywh w.r.t. the crop size.
-        t, h, w = clip.shape[:3]
-        # normalized boxes survive canvas fitting: the scale cancels.
-        clip_u8like = clip
-        ch, cw = self.canvas
-        scale = min(ch / h, cw / w, 1.0)
-        if scale < 1.0:
-            import cv2
-
-            nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
-            clip_u8like = np.stack([
-                cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
-                for f in clip_u8like])
-            h, w = nh, nw
+        # boxes here are already normalized cxcywh w.r.t. the crop size,
+        # so they survive the canvas shrink unchanged (the scale cancels).
+        clip_u8like = T.shrink_to_canvas(clip, self.canvas)
+        h, w = clip_u8like.shape[1:3]   # effective (post-shrink) size
         padded, mask = T.pad_to_canvas(clip_u8like, self.canvas)
 
         pad_boxes, pad_labels, valid = T.pad_targets(

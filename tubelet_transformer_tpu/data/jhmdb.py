@@ -128,15 +128,10 @@ class JHMDBDataset:
             boxes = np.array([[0.0, 0.0, 1.0, 1.0]], np.float32)
             labels = np.array([0], np.int32)
 
-        t, h, w = clip.shape[:3]
-        ch, cw = self.canvas
-        scale = min(ch / h, cw / w, 1.0)
-        if scale < 1.0:
-            import cv2
-
-            nh2, nw2 = max(int(h * scale), 1), max(int(w * scale), 1)
-            clip = np.stack([cv2.resize(f, (nw2, nh2)) for f in clip])
-            h, w = nh2, nw2
+        # boxes are normalized to the clip, so the canvas shrink needs no
+        # box adjustment (cv2 default interpolation == INTER_LINEAR).
+        clip = T.shrink_to_canvas(clip, self.canvas)
+        h, w = clip.shape[1:3]          # effective (post-shrink) size
         padded, mask = T.pad_to_canvas(clip, self.canvas)
         pad_boxes, pad_labels, valid = T.pad_targets(
             boxes, labels, self.max_boxes, multilabel=False,

@@ -65,10 +65,14 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        # DistributedSampler contract: pad to a multiple of world, then shard.
+        # DistributedSampler contract: pad to a multiple of world, then
+        # shard. np.resize wraps cyclically, covering pad > n (a dataset
+        # smaller than the host count) — a single idx[:pad] slice would
+        # underfill there, give ranks unequal batch counts, and hang the
+        # multi-host eval collectives.
         if self.world > 1:
             per = (n + self.world - 1) // self.world
-            idx = np.concatenate([idx, idx[: per * self.world - n]])
+            idx = np.resize(idx, per * self.world)
             idx = idx[self.rank::self.world]
         if self.pad_to_batch and len(idx) and len(idx) % self.batch_size:
             # np.resize wraps cyclically, so shards smaller than the pad
@@ -108,4 +112,7 @@ class DataLoader:
                     pending.append([pool.submit(load_one, (self.epoch, i))
                                     for i in batches[b + ahead]])
                 futs = pending[b]
+                pending[b] = None  # release consumed futures: each retains
+                # its full decoded sample, so keeping the whole epoch's list
+                # alive leaks ~batch x sample-size per step on real datasets
                 yield collate([f.result() for f in futs])

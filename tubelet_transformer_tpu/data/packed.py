@@ -42,6 +42,72 @@ _INDEX = "index.npz"
 _SHARD = "shard_{:04d}.bin"
 
 
+def _decode_ahead(items, decode_fn, workers: int):
+    """Order-preserving bounded decode-ahead over ``items``.
+
+    Returns (iterator, shutdown_fn). With workers > 1, up to workers*2
+    decodes run in flight on a thread pool (decoded clips are ~13 MB each,
+    so the queue must stay bounded); otherwise decodes inline. Shared by
+    both pack writers."""
+    if workers <= 1:
+        return map(decode_fn, items), (lambda: None)
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=workers)
+
+    def gen():
+        q: "deque" = deque()
+        for it in items:
+            q.append(pool.submit(decode_fn, it))
+            if len(q) >= workers * 2:
+                yield q.popleft().result()
+        while q:
+            yield q.popleft().result()
+
+    return gen(), pool.shutdown
+
+
+class _ShardWriter:
+    """Sequential size-rotated shard writer recording (shard, offset,
+    shape) per array — the byte layout both packed readers memmap."""
+
+    def __init__(self, out_dir: str, shard_bytes: int):
+        self.out_dir = out_dir
+        self.shard_bytes = shard_bytes
+        self.shard_id = 0
+        self.off = 0
+        self.f = open(os.path.join(out_dir, _SHARD.format(0)), "wb")
+        self.rec_shard: List[int] = []
+        self.rec_off: List[int] = []
+        self.rec_shape: List[List[int]] = []
+
+    def write(self, arr: np.ndarray) -> None:
+        data = np.ascontiguousarray(arr).tobytes()
+        if self.off and self.off + len(data) > self.shard_bytes:
+            self.f.close()
+            self.shard_id += 1
+            self.off = 0
+            self.f = open(os.path.join(self.out_dir,
+                                       _SHARD.format(self.shard_id)), "wb")
+        self.rec_shard.append(self.shard_id)
+        self.rec_off.append(self.off)
+        self.rec_shape.append(list(arr.shape[:3]))
+        self.f.write(data)
+        self.off += len(data)
+
+    def close(self) -> None:
+        self.f.close()
+
+    def index_fields(self) -> Dict[str, np.ndarray]:
+        # explicit dtypes/shapes so an EMPTY part (--num-parts > keys)
+        # still writes (0,)/(0,3) arrays the multi-part reader concatenates
+        return {"shard": np.asarray(self.rec_shard, np.int32),
+                "offset": np.asarray(self.rec_off, np.int64),
+                "shape": np.asarray(self.rec_shape,
+                                    np.int32).reshape(-1, 3)}
+
+
 def pack_ava(cfg: Config, split: str, out_dir: str,
              shard_bytes: int = 1 << 31, limit: Optional[int] = None,
              progress_every: int = 200, workers: int = 1,
@@ -67,11 +133,6 @@ def pack_ava(cfg: Config, split: str, out_dir: str,
         chunks = np.array_split(np.arange(len(keys)), num_parts)
         keys = [keys[i] for i in chunks[part]]
 
-    shard_id, shard_off = 0, 0
-    shard_f = open(os.path.join(out_dir, _SHARD.format(0)), "wb")
-    rec_shard: List[int] = []
-    rec_off: List[int] = []
-    rec_shape: List[List[int]] = []
     box_off = [0]
     all_boxes: List[np.ndarray] = []
     all_labels: List[np.ndarray] = []
@@ -93,58 +154,23 @@ def pack_ava(cfg: Config, split: str, out_dir: str,
         clip, boxes, labels = rec
         return clip.astype(np.uint8, copy=False), boxes, labels
 
-    if workers > 1:
-        # decode ahead in threads (bounded queue: clips are ~13 MB each);
-        # the shard writer below stays sequential and order-preserving
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = ThreadPoolExecutor(max_workers=workers)
-
-        def _records():
-            q: deque = deque()
-            for k in keys:
-                q.append(pool.submit(_decode, k))
-                if len(q) >= workers * 2:
-                    yield q.popleft().result()
-            while q:
-                yield q.popleft().result()
-
-        records = _records()
-    else:
-        pool = None
-        records = map(_decode, keys)
-
+    records, shutdown = _decode_ahead(keys, _decode, workers)
+    writer = _ShardWriter(out_dir, shard_bytes)
     for i, (frame_key, (clip, boxes, labels)) in enumerate(
             zip(keys, records)):
-        data = np.ascontiguousarray(clip).tobytes()
-        if shard_off and shard_off + len(data) > shard_bytes:
-            shard_f.close()
-            shard_id += 1
-            shard_off = 0
-            shard_f = open(
-                os.path.join(out_dir, _SHARD.format(shard_id)), "wb")
-        rec_shard.append(shard_id)
-        rec_off.append(shard_off)
-        rec_shape.append(list(clip.shape[:3]))
-        shard_f.write(data)
-        shard_off += len(data)
-
+        writer.write(clip)
         all_boxes.append(boxes)
         all_labels.append(labels)
         box_off.append(box_off[-1] + boxes.shape[0])
         if progress_every and (i + 1) % progress_every == 0:
             print(f"packed {i + 1}/{len(keys)}", flush=True)
 
-    shard_f.close()
-    if pool is not None:
-        pool.shutdown()
+    writer.close()
+    shutdown()
     np.savez_compressed(
         os.path.join(out_dir, _INDEX),
-        keys=np.array(keys),
-        shard=np.asarray(rec_shard, np.int32),
-        offset=np.asarray(rec_off, np.int64),
-        shape=np.asarray(rec_shape, np.int32),
+        keys=np.asarray(keys, dtype=str),
+        **writer.index_fields(),
         box_off=np.asarray(box_off, np.int64),
         boxes=(np.concatenate(all_boxes) if box_off[-1]
                else np.zeros((0, 4), np.float32)),
@@ -200,6 +226,10 @@ class PackedAVADataset(AVADataset):
         boxes_l, labels_l = [], []
         for d_i, d in enumerate(part_dirs):
             idx = np.load(os.path.join(d, _INDEX), allow_pickle=False)
+            if len(idx["keys"]) == 0:
+                # a part that got no keys (--num-parts > remaining work);
+                # also tolerates the pre-fix writer's shapeless empty index
+                continue
             # every pack-time knob the shards bake in must match the
             # config — a silent mismatch would feed clips the JPEG path
             # never produces
@@ -222,6 +252,10 @@ class PackedAVADataset(AVADataset):
             box_off.extend((idx["box_off"][1:] + base).tolist())
             boxes_l.append(idx["boxes"])
             labels_l.append(idx["labels"])
+        if not dir_ids:
+            raise ValueError(
+                f"pack under {self.packed_dir!r} contains no samples "
+                "(every part index is empty)")
         self.keys = keys
         self._dir_ids = np.concatenate(dir_ids)
         self._shard_ids = np.concatenate(shard_ids)
@@ -300,55 +334,18 @@ def pack_jhmdb(cfg: Config, split: str, out_dir: str,
             frames.append(np.asarray(img.resize((nw, nh))))
         return np.stack(frames).astype(np.uint8, copy=False)
 
-    if workers > 1:
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = ThreadPoolExecutor(max_workers=workers)
-
-        def _stacks():
-            q: deque = deque()
-            for v in vids:
-                q.append(pool.submit(_decode, v))
-                if len(q) >= workers * 2:
-                    yield q.popleft().result()
-            while q:
-                yield q.popleft().result()
-
-        stacks = _stacks()
-    else:
-        pool = None
-        stacks = map(_decode, vids)
-
-    shard_id, shard_off = 0, 0
-    shard_f = open(os.path.join(out_dir, _SHARD.format(0)), "wb")
-    rec_shard: List[int] = []
-    rec_off: List[int] = []
-    rec_shape: List[List[int]] = []
+    stacks, shutdown = _decode_ahead(vids, _decode, workers)
+    writer = _ShardWriter(out_dir, shard_bytes)
     for i, (vid, stack) in enumerate(zip(vids, stacks)):
-        data = np.ascontiguousarray(stack).tobytes()
-        if shard_off and shard_off + len(data) > shard_bytes:
-            shard_f.close()
-            shard_id += 1
-            shard_off = 0
-            shard_f = open(
-                os.path.join(out_dir, _SHARD.format(shard_id)), "wb")
-        rec_shard.append(shard_id)
-        rec_off.append(shard_off)
-        rec_shape.append(list(stack.shape[:3]))
-        shard_f.write(data)
-        shard_off += len(data)
+        writer.write(stack)
         if progress_every and (i + 1) % progress_every == 0:
             print(f"packed {i + 1}/{len(vids)} videos", flush=True)
-    shard_f.close()
-    if pool is not None:
-        pool.shutdown()
+    writer.close()
+    shutdown()
     np.savez_compressed(
         os.path.join(out_dir, _INDEX),
-        vids=np.array(vids),
-        shard=np.asarray(rec_shard, np.int32),
-        offset=np.asarray(rec_off, np.int64),
-        shape=np.asarray(rec_shape, np.int32),
+        vids=np.asarray(vids, dtype=str),
+        **writer.index_fields(),
         resize_size=np.int32(ds.resize_size))
     return out_dir
 

@@ -211,24 +211,28 @@ def default_canvas(img_size: int, max_aspect: float = 16.0 / 9.0,
     """Static (H, W) canvas holding any *landscape* crop with short side
     == img_size and aspect up to ``max_aspect`` (AVA movies are 4:3..16:9),
     rounded up for TPU tiling. Rare portrait samples are shrunk to fit by
-    ``fit_to_canvas`` — a deliberate static-shape trade (the reference feeds
-    variable shapes, which would force one XLA recompile per aspect ratio)."""
+    ``shrink_to_canvas`` — a deliberate static-shape trade (the reference
+    feeds variable shapes, which would force one XLA recompile per aspect
+    ratio)."""
     h = int(math.ceil(img_size / multiple) * multiple)
     w = int(math.ceil(img_size * max_aspect / multiple) * multiple)
     return (h, w)
 
 
-def fit_to_canvas(clip: np.ndarray, boxes: np.ndarray,
-                  canvas_hw: Tuple[int, int]):
-    """Downscale (aspect-preserving) only if the clip exceeds the canvas.
-
-    Returns (clip, boxes, effective_size (h, w)) — boxes stay absolute.
-    """
+def shrink_to_canvas(clip: np.ndarray,
+                     canvas_hw: Tuple[int, int]) -> np.ndarray:
+    """Aspect-preserving cv2 downscale only when the clip exceeds the
+    canvas — the live canvas-fit step for both dataset families (callers
+    carry boxes normalized to the clip, so the scale cancels and boxes
+    need no adjustment)."""
     t, h, w = clip.shape[:3]
     ch, cw = canvas_hw
     scale = min(ch / h, cw / w, 1.0)
-    if scale < 1.0:
-        nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
-        clip, boxes = resize_clip(clip, boxes, (nh, nw))
-        h, w = nh, nw
-    return clip, boxes, (h, w)
+    if scale >= 1.0:
+        return clip
+    import cv2
+
+    nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+    return np.stack([
+        cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        for f in clip])

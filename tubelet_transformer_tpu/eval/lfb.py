@@ -123,25 +123,44 @@ class BankAttachDataset:
 
 def generate_bank(cfg, model, variables, loader, mesh,
                   threshold: float = 0.8) -> FeatureBank:
-    """Run the generate_lfb forward over a loader and fill a bank."""
+    """Run the generate_lfb forward over a loader and fill a bank.
+
+    Batches go through the same device path as validation: photometric
+    ``device_preprocess`` (the loader ships uint8 by default) and the mesh
+    batch sharding; features gather globally so on multi-host runs every
+    process fills the FULL bank (each host's loader only sees its shard).
+    """
     import jax
-    import jax.numpy as jnp
+    import numpy as np
+
+    from tubelet_transformer_tpu.data.device_preprocess import (
+        device_preprocess,
+    )
+    from tubelet_transformer_tpu.parallel import mesh as mesh_lib
 
     @jax.jit
     def gen_step(variables, clips, pad_mask):
-        out = model.apply(variables, clips, pad_mask, train=False)
+        out = model.apply(variables, device_preprocess(clips), pad_mask,
+                          train=False)
         prob = jax.nn.softmax(out["pred_logits_b"], axis=-1)[..., 1]
         return out["lfb_features"], prob
 
+    if mesh is None:  # single-device convenience path (tests, notebooks)
+        mesh = mesh_lib.create_mesh(data=1, model=1,
+                                    devices=jax.devices()[:1])
     bank = FeatureBank(feat_dim=cfg.model.d_model,
                        slots_per_frame=min(cfg.model.query_num, 5))
     dataset = loader.dataset
     for batch in loader:
-        feats, prob = jax.device_get(gen_step(
-            variables, jnp.asarray(batch["clips"]),
-            jnp.asarray(batch["pad_mask"])))
+        db = mesh_lib.shard_batch(
+            {"clips": np.asarray(batch["clips"]),
+             "pad_mask": np.asarray(batch["pad_mask"])}, mesh)
+        feats, prob = gen_step(variables, db["clips"], db["pad_mask"])
+        feats = mesh_lib.gather_global(feats)
+        prob = mesh_lib.gather_global(prob)
+        key_idx = mesh_lib.gather_global(np.asarray(batch["key_idx"]))
         for i in range(feats.shape[0]):
-            idx = int(batch["key_idx"][i])
+            idx = int(key_idx[i])
             key = dataset.keys[idx] if hasattr(dataset, "keys") else str(idx)
             bank.add(key, feats[i], prob[i], threshold)
     return bank
