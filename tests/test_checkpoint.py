@@ -206,3 +206,36 @@ def test_async_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_latest_checkpoint_ignores_orbax_tmp_dirs(tmp_path):
+    """A hard kill mid-(async)-save leaves 'ckpt_epoch_N.orbax-checkpoint-
+    tmp-<ts>' dirs; resume must skip them instead of crashing on int()."""
+    d = tmp_path / "ck"
+    (d / "ckpt_epoch_3").mkdir(parents=True)
+    (d / "ckpt_epoch_7.orbax-checkpoint-tmp-1755500000").mkdir()
+    got = ckpt_lib.latest_checkpoint(str(d))
+    assert got and got.endswith("ckpt_epoch_3")
+
+    base = tmp_path / "runs"
+    e = base / "exp_20260101_000000" / "checkpoints"
+    e.mkdir(parents=True)
+    (e / "ckpt_epoch_2").mkdir()
+    (e / "ckpt_epoch_9.orbax-checkpoint-tmp-42").mkdir()
+    got = ckpt_lib.latest_checkpoint_any_run(str(base), exp_name="exp")
+    assert got and got.endswith("ckpt_epoch_2")
+
+
+def test_keep_prunes_old_checkpoints(tmp_path):
+    """LOG.KEEP_CKPTS: only the newest N committed checkpoints survive;
+    in-flight tmp dirs and the just-written checkpoint are never touched."""
+    cfg = _tiny_cfg()
+    model = build_model(cfg)
+    state, _, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), _batch(cfg), 10)
+    d = str(tmp_path / "ck")
+    for epoch in range(4):
+        ckpt_lib.save_checkpoint(d, state, epoch, keep=2)
+    import os
+    names = sorted(x for x in os.listdir(d) if x.startswith("ckpt_epoch_"))
+    assert names == ["ckpt_epoch_2", "ckpt_epoch_3"]

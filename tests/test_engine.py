@@ -438,3 +438,35 @@ def test_grad_accumulation_matches_manual_microbatching(rng):
                     jax.tree.leaves(bs2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_nan_step_skips_whole_state_and_recovers(rng):
+    """A non-finite loss must leave params AND optimizer moments AND BN
+    stats untouched (committing NaN Adam moments would poison the next,
+    finite step), and a following clean step must train normally."""
+    cfg = _tiny_cfg()
+    model = build_model(cfg)
+    batch = _fake_batch(rng, cfg, 8)
+    state, tx, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, 10)
+    train_step = engine.make_train_step(cfg, model, tx)
+
+    bad = dict(batch)
+    bad["clips"] = batch["clips"].copy()
+    bad["clips"][0, 0, 0, 0, 0] = np.nan
+    before = jax.tree.map(np.asarray, (state.params, state.opt_state,
+                                       state.batch_stats))
+    state, metrics = train_step(state, bad, jax.random.PRNGKey(1),
+                                jnp.float32(12.0))
+    assert float(metrics["finite"]) == 0.0
+    after = jax.tree.map(np.asarray, (state.params, state.opt_state,
+                                      state.batch_stats))
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(2),
+                                jnp.float32(12.0))
+    assert float(metrics["finite"]) == 1.0
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(state.params))

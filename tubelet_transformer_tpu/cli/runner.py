@@ -246,6 +246,7 @@ def _run_training_body(cfg: Config, preempted) -> None:
                 # moves on — the finally-block wait makes it durable
                 # before this function returns
                 ckpt_lib.save_checkpoint(dirs["ckpt"], state, epoch, cfg=cfg,
+                                         keep=cfg.log.keep_ckpts,
                                          async_save=cfg.log.async_ckpt)
             if preempted["flag"]:
                 print(f"preempted: checkpointed epoch {epoch}, exiting")

@@ -214,6 +214,10 @@ class LogConfig:
     # Capture a jax.profiler device trace of this many train steps (first
     # epoch, after the compile step) into <exp>/tb_log/profile; 0 = off.
     profile_steps: int = 0
+    # Keep only the newest N committed checkpoints of this run (saves are
+    # params + Adam moments, ~3x model size each); 0 = keep everything
+    # (the reference's behavior).
+    keep_ckpts: int = 0
     # Commit checkpoint saves on a background thread (orbax async): the
     # train loop resumes immediately instead of blocking on the host fetch
     # + disk write; the runner waits for in-flight saves before exiting.

@@ -52,9 +52,24 @@ def wait_for_checkpoints() -> None:
         _ASYNC_CKPTR.wait_until_finished()
 
 
+def _prune_old_checkpoints(ckpt_dir: str, keep: int, skip: str) -> None:
+    """Delete committed ckpt_epoch_* dirs beyond the newest ``keep``
+    (never ``skip``, the one just written; tmp dirs of in-flight async
+    saves are excluded by the committed-name filter). Caller gates on
+    process 0."""
+    import shutil
+
+    cands = [d for d in os.listdir(ckpt_dir) if _is_committed_ckpt(d)]
+    cands.sort(key=lambda d: int(d.rsplit("_", 1)[1]))
+    for d in cands[:-keep] if len(cands) > keep else []:
+        full = os.path.join(ckpt_dir, d)
+        if os.path.abspath(full) != os.path.abspath(skip):
+            shutil.rmtree(full, ignore_errors=True)
+
+
 def save_checkpoint(ckpt_dir: str, state, epoch: int,
                     max_accuracy: float = 0.0, cfg: Optional[Config] = None,
-                    keep: int = 5, async_save: bool = False) -> str:
+                    keep: int = 0, async_save: bool = False) -> str:
     """Write ``ckpt_epoch_{N}`` with the full train state (rank-0 only caller).
 
     Layout mirrors the reference naming (model_utils.py:118-134).
@@ -64,6 +79,10 @@ def save_checkpoint(ckpt_dir: str, state, epoch: int,
     train loop resumes immediately (the reference's torch.save blocks the
     loop for the full write). Consecutive saves serialize; call
     :func:`wait_for_checkpoints` before exiting or reading the file.
+
+    ``keep`` > 0 prunes this run's committed checkpoints down to the
+    newest ``keep`` after the save (LOG.KEEP_CKPTS; 0 keeps everything,
+    the reference's behavior).
     """
     import orbax.checkpoint as ocp
 
@@ -76,15 +95,17 @@ def save_checkpoint(ckpt_dir: str, state, epoch: int,
                    "batch_stats": state.batch_stats,
                    "opt_state": state.opt_state, **meta}
         _async_checkpointer().save(path, payload, force=True)
-        return path
-    ckptr = ocp.PyTreeCheckpointer()
-    payload = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
-        **meta,
-    }
-    ckptr.save(path, payload, force=True)
+    else:
+        ckptr = ocp.PyTreeCheckpointer()
+        payload = {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+            "opt_state": jax.device_get(state.opt_state),
+            **meta,
+        }
+        ckptr.save(path, payload, force=True)
+    if keep > 0 and jax.process_index() == 0:
+        _prune_old_checkpoints(ckpt_dir, keep, skip=path)
     return path
 
 
@@ -126,10 +147,18 @@ def load_checkpoint(path: str, state):
     return new_state, int(restored["epoch"]), float(restored["max_accuracy"])
 
 
+def _is_committed_ckpt(name: str) -> bool:
+    """ckpt_epoch_<N> with an integer suffix — filters orbax's uncommitted
+    tmp dirs ('ckpt_epoch_N.orbax-checkpoint-tmp-<ts>') left behind by a
+    hard kill during an (async) save; matching them would crash resume."""
+    return (name.startswith("ckpt_epoch_")
+            and name.rsplit("_", 1)[1].isdigit())
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None
-    cands = [d for d in os.listdir(ckpt_dir) if d.startswith("ckpt_epoch_")]
+    cands = [d for d in os.listdir(ckpt_dir) if _is_committed_ckpt(d)]
     if not cands:
         return None
     cands.sort(key=lambda d: int(d.rsplit("_", 1)[1]))
@@ -149,7 +178,9 @@ def latest_checkpoint_any_run(base_path: str, save_dir: str = "checkpoints",
     import re
 
     pat = f"{glob.escape(exp_name)}_*" if exp_name else "*"
-    cands = glob.glob(os.path.join(base_path, pat, save_dir, "ckpt_epoch_*"))
+    cands = [p for p in glob.glob(os.path.join(base_path, pat, save_dir,
+                                               "ckpt_epoch_*"))
+             if _is_committed_ckpt(os.path.basename(p))]
     if exp_name:
         # "{exp_name}_*" would also match sibling experiments whose name
         # extends ours ("tuber" globs "tuber_large_<stamp>"); require the
@@ -248,6 +279,24 @@ def seed_from_detr(cfg: Config, variables: Dict[str, Any],
     return new_vars
 
 
+
+def _convert_encoder_layout(variables: Dict[str, Any], n_layers: int,
+                            to_stacked: bool) -> Dict[str, Any]:
+    """Copy of ``variables`` with the transformer's encoder params converted
+    between the sequential ``encoder_layer_{i}`` layout and the
+    pipeline-parallel stacked ``encoder_stack`` layout (both directions of
+    checkpoint interop go through here)."""
+    from tubelet_transformer_tpu.parallel.pipeline import (
+        stack_encoder_params,
+        unstack_encoder_params,
+    )
+
+    fn = stack_encoder_params if to_stacked else unstack_encoder_params
+    p = dict(variables["params"])
+    p["transformer"] = fn(dict(p["transformer"]), n_layers)
+    return {"params": p, "batch_stats": variables["batch_stats"]}
+
+
 def load_pretrained(cfg: Config, variables: Dict[str, Any]) -> Dict[str, Any]:
     """Apply the reference's load order: backbone .mat (if PRETRAINED), then
     DETR seed (deploy_model, model_utils.py:60-61), then full TubeR ckpt
@@ -267,11 +316,6 @@ def load_pretrained(cfg: Config, variables: Dict[str, Any]) -> Dict[str, Any]:
           and "encoder_stack" in dict(variables["params"]).get(
               "transformer", {}))
     if pp:
-        from tubelet_transformer_tpu.parallel.pipeline import (
-            stack_encoder_params,
-            unstack_encoder_params,
-        )
-
         if (cfg.model.load and cfg.model.pretrained_path
                 and os.path.isdir(cfg.model.pretrained_path)
                 and _orbax_has_encoder_stack(cfg.model.pretrained_path)):
@@ -280,13 +324,9 @@ def load_pretrained(cfg: Config, variables: Dict[str, Any]) -> Dict[str, Any]:
             # from the checkpoint, so the layout must be checked, not tried)
             return load_orbax_variables(cfg.model.pretrained_path, variables)
         n = cfg.model.enc_layers
-        p = dict(variables["params"])
-        p["transformer"] = unstack_encoder_params(dict(p["transformer"]), n)
-        out = load_pretrained(cfg, {"params": p,
-                                    "batch_stats": variables["batch_stats"]})
-        op = dict(out["params"])
-        op["transformer"] = stack_encoder_params(dict(op["transformer"]), n)
-        return {"params": op, "batch_stats": out["batch_stats"]}
+        out = load_pretrained(
+            cfg, _convert_encoder_layout(variables, n, to_stacked=False))
+        return _convert_encoder_layout(out, n, to_stacked=True)
 
     if cfg.model.pretrained and cfg.model.pretrain_backbone_dir:
         variables = load_backbone_mat(cfg, variables)
@@ -299,23 +339,12 @@ def load_pretrained(cfg: Config, variables: Dict[str, Any]) -> Dict[str, Any]:
             if _orbax_has_encoder_stack(cfg.model.pretrained_path):
                 # PP-trained checkpoint into a sequential run (export,
                 # pipe=1 eval): restore in the stacked layout, unstack
-                from tubelet_transformer_tpu.parallel.pipeline import (
-                    stack_encoder_params,
-                    unstack_encoder_params,
-                )
-
                 n = cfg.model.enc_layers
-                p = dict(variables["params"])
-                p["transformer"] = stack_encoder_params(
-                    dict(p["transformer"]), n)
                 out = load_orbax_variables(
                     cfg.model.pretrained_path,
-                    {"params": p, "batch_stats": variables["batch_stats"]})
-                op = dict(out["params"])
-                op["transformer"] = unstack_encoder_params(
-                    dict(op["transformer"]), n)
-                variables = {"params": op,
-                             "batch_stats": out["batch_stats"]}
+                    _convert_encoder_layout(variables, n, to_stacked=True))
+                variables = _convert_encoder_layout(out, n,
+                                                    to_stacked=False)
             else:
                 variables = load_orbax_variables(cfg.model.pretrained_path,
                                                  variables)
@@ -332,7 +361,9 @@ def _orbax_has_encoder_stack(path: str) -> bool:
     try:
         meta = ocp.PyTreeCheckpointer().metadata(os.path.abspath(path))
         tree = meta.item_metadata.tree
-    except (FileNotFoundError, ValueError, AttributeError) as exc:
+        return "encoder_stack" in tree["params"].get("transformer", {})
+    except (FileNotFoundError, ValueError, AttributeError, KeyError,
+            TypeError) as exc:
         # metadata genuinely absent/unreadable (pre-metadata checkpoint) —
         # treat as sequential but say so, since a wrong guess here means a
         # silent partial restore downstream
@@ -340,7 +371,6 @@ def _orbax_has_encoder_stack(path: str) -> bool:
               f"({type(exc).__name__}: {exc}); assuming sequential "
               "encoder layout")
         return False
-    return "encoder_stack" in tree["params"].get("transformer", {})
 
 
 def load_orbax_variables(path: str, variables: Dict[str, Any]

@@ -116,10 +116,13 @@ def make_train_step(cfg: Config, model, tx):
     """Build the jitted train step: (state, batch, rng, loss_ce_w) -> ...
 
     With TRAIN.ACCUM_STEPS > 1 the batch is split into microbatches inside
-    the step (lax.scan): gradients average, BN statistics update
-    sequentially, and losses are the microbatch means — the reference's
-    multi-GPU DDP semantics (its per-GPU criterion normalizes per shard
-    too), at 1/ACCUM_STEPS the activation memory.
+    the step (lax.scan): gradients average and losses are the microbatch
+    means — matching the reference's multi-GPU DDP loss/grad averaging
+    (its per-GPU criterion normalizes per shard too) — at 1/ACCUM_STEPS
+    the activation memory. BatchNorm running stats take ACCUM_STEPS
+    sequential small-batch EMA updates per optimizer step (the semantics
+    of actually training at the smaller per-device batch), not one
+    full-batch update.
     """
     accum = max(1, cfg.train.accum_steps)
 
@@ -166,9 +169,10 @@ def make_train_step(cfg: Config, model, tx):
             def to_mb(x):
                 return jnp.reshape(x, (accum, b // accum) + x.shape[1:])
 
-            mb_keys = [k for k in ("pad_mask", "boxes", "labels", "valid",
-                                   "vis", "key_pos", "lfb_features",
-                                   "lfb_mask") if k in batch]
+            # every device key except clips (preprocessed + split above)
+            # microbatches alongside, so new loss inputs can't silently
+            # vanish in the accumulation path
+            mb_keys = [k for k in batch if k != "clips"]
             scan_in = ({k: to_mb(jnp.asarray(batch[k])) for k in mb_keys},
                        to_mb(clips), jnp.arange(accum))
 
@@ -204,10 +208,19 @@ def make_train_step(cfg: Config, model, tx):
 
         # NaN guard (reference exits on non-finite loss,
         # video_action_recognition.py:195-198): skip the update instead and
-        # surface the flag in metrics so the host loop can decide.
+        # surface the flag in metrics so the host loop can decide. The skip
+        # must cover the WHOLE state: keeping params but committing Adam
+        # moments/BN stats updated with NaN grads would turn the next
+        # (finite) step's update into NaN and kill the run anyway.
         finite = jnp.isfinite(total)
-        new_params = jax.tree.map(
-            lambda n, o: jnp.where(finite, n, o), new_params, state.params)
+
+        def keep_if_finite(new, old):
+            return jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new, old)
+
+        new_params = keep_if_finite(new_params, state.params)
+        new_opt = keep_if_finite(new_opt, state.opt_state)
+        new_bs = keep_if_finite(new_bs, state.batch_stats)
 
         metrics = dict(loss_dict)
         metrics["total_loss"] = total
