@@ -470,3 +470,36 @@ def test_nan_step_skips_whole_state_and_recovers(rng):
     assert np.isfinite(float(metrics["total_loss"]))
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree.leaves(state.params))
+
+
+def test_opt_state_sharding_follows_param_paths(rng):
+    """Adam moments must take their own param's sharding, not the sharding
+    of any same-shaped param (bbox MLP kernels and attention out_proj are
+    both (d,d) but replicate vs row-shard)."""
+    from jax.sharding import PartitionSpec as P
+    from tubelet_transformer_tpu.parallel.sharding_rules import (
+        shard_train_state,
+    )
+
+    cfg = _tiny_cfg()
+    model = build_model(cfg)
+    batch = _fake_batch(rng, cfg, 8)
+    mesh = mesh_lib.create_mesh(data=4, model=2)
+    state, tx, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, 10)
+    state = shard_train_state(state, mesh)
+
+    def find_moment(tree, needle):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            s = "/".join(str(getattr(p, "key", p)) for p in path)
+            if ".mu" in s and s.endswith(needle):
+                return leaf
+        raise KeyError(needle)
+
+    out_proj = find_moment(state.opt_state,
+                           "encoder_layer_0/self_attn/out_proj/kernel")
+    assert out_proj.sharding.spec == P("model", None), out_proj.sharding
+    bbox = find_moment(state.opt_state, "bbox_embed/layers_0/kernel")
+    assert bbox.sharding.spec == P(), bbox.sharding
+    # both are (64, 64): the shape-keyed matcher could not tell them apart
+    assert out_proj.shape == bbox.shape

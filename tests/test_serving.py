@@ -185,3 +185,49 @@ def test_tp_serving_matches_single_device():
         for dp, db in zip(rp.detections, rb.detections):
             np.testing.assert_allclose(dp.box, db.box, atol=1e-3)
             np.testing.assert_allclose(dp.scores, db.scores, atol=1e-4)
+
+
+def test_streaming_jhmdb_clip_level_binary():
+    """Non-AVA serving: postprocess_softmax emits a clip-level visibility
+    (B, 1), not per-query actorness — the detector must broadcast it
+    instead of crashing on a (B, Q, 1) index (review regression)."""
+    cfg = _cfg()
+    cfg.data.dataset_name = "jhmdb"
+    cfg.data.num_classes = 4
+    det = StreamingDetector(cfg, fps=8.0, detect_every=8,
+                            actor_threshold=0.0)
+    results = [r for f in _frames(24) if (r := det.push_frame(f))]
+    assert results, "no detection fired"
+    for r in results:
+        # threshold 0.0 -> every tubelet query (Q * T for non-AVA)
+        # becomes a detection with the broadcast clip-level visibility
+        assert len(r.detections) == (cfg.model.query_num
+                                     * cfg.model.temp_len)
+        probs = {round(d.actor_prob, 6) for d in r.detections}
+        assert len(probs) == 1  # clip-level prob broadcast to all queries
+
+
+def test_streaming_resolution_change_restarts_window():
+    """A mid-stream source-resolution change must flush the buffered
+    canvases (mixed-scale windows corrupt box geometry) and restart."""
+    det = StreamingDetector(_cfg(), fps=8.0, detect_every=8)
+    for f in _frames(10, h=48, w=64):
+        det.push_frame(f)
+    assert len(det._frames) == 10
+    det.push_frame(_frames(1, h=24, w=32, seed=1)[0])
+    assert len(det._frames) == 1  # restarted at the new geometry
+    assert det._src_hw == (24, 32)
+
+
+def test_pool_close_stream_releases_state():
+    from tubelet_transformer_tpu.serving import StreamingDetectorPool
+
+    pool = StreamingDetectorPool(_cfg(), max_batch=2, fps=8.0,
+                                 detect_every=8)
+    for f in _frames(4):
+        pool.push_frame("a", f)
+        pool.push_frame("b", f)
+    assert set(pool._streams) == {"a", "b"}
+    pool.close_stream("a")
+    assert set(pool._streams) == {"b"}
+    pool.close_stream("missing")  # no-op

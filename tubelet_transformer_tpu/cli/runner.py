@@ -69,17 +69,23 @@ def _maybe_attach_lfb(cfg: Config, ds):
                              half_window=cfg.lfb.half_window)
 
 
-def make_loaders(cfg: Config):
+def make_loaders(cfg: Config, val_only: bool = False):
+    """(train_loader, val_loader); ``val_only`` skips building the train
+    dataset (eval/bank CLIs — the AVA train annotation parse is expensive
+    and its loader would be discarded)."""
     rank, world = jax.process_index(), jax.process_count()
     # BATCH_SIZE is per-chip, like the reference's per-GPU batch under
     # mp.spawn DDP: the host loader feeds batch_size * local chips, so the
     # global batch is always divisible by the 'data' mesh axis.
     n_local = jax.local_device_count()
-    train_ds = build_dataset(cfg, "train")
+    train_loader = None
+    if not val_only:
+        train_ds = build_dataset(cfg, "train")
+        train_loader = DataLoader(train_ds, cfg.train.batch_size * n_local,
+                                  shuffle=True, seed=cfg.train.seed,
+                                  rank=rank, world=world,
+                                  num_workers=cfg.data.num_workers)
     val_ds = build_dataset(cfg, "val")
-    train_loader = DataLoader(train_ds, cfg.train.batch_size * n_local,
-                              shuffle=True, seed=cfg.train.seed, rank=rank,
-                              world=world, num_workers=cfg.data.num_workers)
     # wrap-padded tail: every val keyframe is evaluated (the evaluators
     # dedupe the duplicated pad samples by image_key) with full batches
     val_loader = DataLoader(val_ds, cfg.val.batch_size * n_local,
@@ -193,24 +199,28 @@ def _run_training_body(cfg: Config, preempted) -> None:
 
     sample_batch = _sample_batch_from(train_loader)
     state, tx = init_state(cfg, model, steps_per_epoch, sample_batch)
-    if cfg.mesh.model > 1 or cfg.mesh.pipe > 1:
-        from tubelet_transformer_tpu.parallel.sharding_rules import (
-            shard_train_state,
-        )
-
-        state = shard_train_state(state, mesh)
 
     start_epoch = cfg.train.start_epoch
     if cfg.model.load and not cfg.model.pretrained_path:
         # Resume from the newest checkpoint of this experiment's previous
         # runs under BASE_PATH (each run writes a fresh timestamped exp dir;
-        # scoping by EXP_NAME keeps co-located experiments apart).
+        # scoping by EXP_NAME keeps co-located experiments apart). Runs
+        # BEFORE shard_train_state: load_checkpoint materializes host
+        # arrays, which would silently discard a TP/PP placement (and
+        # device_get of non-addressable shards fails on multi-host meshes).
         latest = ckpt_lib.latest_checkpoint_any_run(
             cfg.log.base_path, cfg.log.save_dir, exp_name=cfg.log.exp_name)
         if latest:
             state, start_epoch, _ = ckpt_lib.load_checkpoint(latest, state)
             start_epoch += 1
             print(f"resumed from {latest} at epoch {start_epoch}")
+
+    if cfg.mesh.model > 1 or cfg.mesh.pipe > 1:
+        from tubelet_transformer_tpu.parallel.sharding_rules import (
+            shard_train_state,
+        )
+
+        state = shard_train_state(state, mesh)
 
     train_step = engine.make_train_step(cfg, model, tx)
     eval_step = engine.make_eval_step(cfg, model)
@@ -263,15 +273,15 @@ def _run_training_body(cfg: Config, preempted) -> None:
 
 def run_eval(cfg: Config) -> dict:
     _check_supported(cfg)
+    if not (cfg.model.load and cfg.model.pretrained_path):
+        raise ValueError("eval requires MODEL.LOAD with PRETRAINED_PATH")
     mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model,
                                 cfg.mesh.pipe)
-    _, val_loader = make_loaders(cfg)
+    _, val_loader = make_loaders(cfg, val_only=True)
     model = build_model(cfg, mesh=mesh)
     sample_batch = _sample_batch_from(val_loader)
     state, _ = init_state(cfg, model, steps_per_epoch=1,
                           sample_batch=sample_batch)
-    if not (cfg.model.load and cfg.model.pretrained_path):
-        raise ValueError("eval requires MODEL.LOAD with PRETRAINED_PATH")
     eval_step = engine.make_eval_step(cfg, model)
     return _validate(cfg, eval_step, state, val_loader, mesh, epoch=0,
                      writer=None)
@@ -280,10 +290,16 @@ def run_eval(cfg: Config) -> dict:
 def run_generate_lfb(cfg: Config, out_path: str = "lfb_bank.npz") -> str:
     """Run the model in generate_lfb mode over the val split and save the
     long-term feature bank (reference GENERATE_LFB hook, never shipped)."""
+    if not (cfg.model.load and cfg.model.pretrained_path):
+        # a bank from random-init weights is silently poisonous to every
+        # later USE_LFB run — refuse like run_eval does
+        raise ValueError(
+            "generate_lfb requires MODEL.LOAD with PRETRAINED_PATH "
+            "(a feature bank needs trained weights)")
     mesh = mesh_lib.create_mesh(cfg.mesh.data, cfg.mesh.model,
                                 cfg.mesh.pipe)
     cfg.model.generate_lfb = True
-    _, val_loader = make_loaders(cfg)
+    _, val_loader = make_loaders(cfg, val_only=True)
     model = build_model(cfg, mesh=mesh)
     sample_batch = _sample_batch_from(val_loader)
     state, _ = init_state(cfg, model, steps_per_epoch=1,

@@ -75,18 +75,27 @@ def shard_train_state(state, mesh: Mesh):
     batch_stats = jax.tree.map(lambda x: jax.device_put(x, repl),
                                state.batch_stats)
 
-    # Optimizer state: leaves whose shape matches a param leaf get that
-    # param's sharding (Adam mu/nu); scalars and counters replicate.
-    shard_by_shape = {}
-    for leaf, sh in zip(jax.tree.leaves(state.params),
-                        jax.tree.leaves(p_shard)):
-        shard_by_shape.setdefault(getattr(leaf, "shape", ()), sh)
+    # Optimizer state: Adam mu/nu embed copies of the params pytree, so a
+    # moment leaf's path ends with its param's path — match on that (plus
+    # shape) rather than on shape alone, which mis-places moments when two
+    # same-shaped params shard differently (e.g. a replicated (256,256)
+    # MLP kernel vs a row-sharded (256,256) out_proj kernel).
+    shard_by_path = {}
+    for path, sh in jax.tree_util.tree_flatten_with_path(p_shard)[0]:
+        shard_by_path["/" + _path_str(path)] = sh
+    shape_by_path = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+        shape_by_path["/" + _path_str(path)] = getattr(leaf, "shape", ())
 
-    def place_opt(x):
-        sh = shard_by_shape.get(getattr(x, "shape", ()), repl)
-        return jax.device_put(x, sh)
+    def place_opt(path, x):
+        ps = "/" + _path_str(path)
+        for param_path, sh in shard_by_path.items():
+            if ps.endswith(param_path) \
+                    and getattr(x, "shape", ()) == shape_by_path[param_path]:
+                return jax.device_put(x, sh)
+        return jax.device_put(x, repl)
 
-    opt_state = jax.tree.map(place_opt, state.opt_state)
+    opt_state = jax.tree_util.tree_map_with_path(place_opt, state.opt_state)
     return state.replace(params=params, batch_stats=batch_stats,
                          opt_state=opt_state,
                          step=jax.device_put(state.step, repl))

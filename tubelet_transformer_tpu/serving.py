@@ -108,6 +108,16 @@ class _Memory:
         return feats, mask
 
 
+def _per_query_binary(binary_row, n_queries: int) -> "np.ndarray":
+    """Per-query actor probabilities from a postprocess binary row:
+    AVA emits (Q, 1); JHMDB/UCF emit a clip-level (1,) visibility, which
+    broadcasts to every query."""
+    b = np.asarray(binary_row).reshape(-1)
+    if b.shape[0] == n_queries:
+        return b
+    return np.full((n_queries,), float(b[0]), np.float32)
+
+
 class StreamingDetector:
     """Streaming TubeR detector over a live frame feed.
 
@@ -199,8 +209,14 @@ class StreamingDetector:
         out = self.model.apply(variables, clips, pad_mask, train=False,
                                return_features=True, **kw)
         size = jnp.asarray([[self.img_size, self.img_size]], jnp.float32)
-        post = postprocess_ava if self.is_ava else postprocess_softmax
-        scores, boxes, binary = post(out, size)
+        if self.is_ava:
+            # gate action scores at the serving threshold (postprocess's
+            # 0.8 default is the offline-eval reference value; a lower
+            # serving threshold would otherwise emit all-zero scores)
+            scores, boxes, binary = postprocess_ava(
+                out, size, binary_gate=self.actor_threshold)
+        else:
+            scores, boxes, binary = postprocess_softmax(out, size)
         return scores, boxes, binary, out["lfb_features"]
 
     # -- host loop --------------------------------------------------------
@@ -210,7 +226,12 @@ class StreamingDetector:
         h, w = frame.shape[:2]
         if self._src_hw != (h, w):
             # (re)compute on first frame AND on mid-stream resolution
-            # changes — a stale scale would map boxes to wrong geometry
+            # changes — a stale scale would map boxes to wrong geometry.
+            # Buffered frames were canvas-resized at the OLD scale; a
+            # mixed-scale window would anchor detections on old-geometry
+            # content, so the clip window restarts at the new resolution.
+            if self._src_hw is not None:
+                self._frames.clear()
             self._src_hw = (h, w)
             self._scale = self.img_size / max(h, w)
         nh = max(1, int(round(h * self._scale)))
@@ -277,7 +298,7 @@ class StreamingDetector:
         scores, boxes, binary, feats = jax.device_get(
             self._detect(self.variables, clip, pad, mem, mmask))
         scores, boxes = scores[0], boxes[0]
-        binary = binary[0, :, 0]
+        binary = _per_query_binary(binary[0], scores.shape[0])
         feats = feats[0]
 
         if self.memory is not None:
@@ -348,6 +369,13 @@ class StreamingDetectorPool:
                         if t.memory is not None else None)
             self._streams[sid] = s
         return self._streams[sid]
+
+    def close_stream(self, sid) -> None:
+        """Drop a finished stream's frame buffer and long-term memory. The
+        pool never evicts on its own — a server with churning stream ids
+        must close streams or the per-stream canvases (~12 MB each at
+        256px/T=32) accumulate unboundedly."""
+        self._streams.pop(sid, None)
 
     def set_deadline(self, sid, deadline_ms: Optional[float]) -> None:
         """Latency SLO for one stream: maximum milliseconds between a
@@ -440,7 +468,7 @@ class StreamingDetectorPool:
             lat = (time.perf_counter() - t0) * 1e3
             for i, sid in enumerate(chunk):
                 s = self._streams[sid]
-                bin_i = binary[i, :, 0]
+                bin_i = _per_query_binary(binary[i], scores.shape[1])
                 if s.memory is not None:
                     s.memory.push(feats[i], bin_i, s.actor_threshold)
                 b = boxes[i] / s._scale

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 from tubelet_transformer_tpu.ops import box_ops
 
 
-def postprocess_ava(outputs, target_sizes: jnp.ndarray):
+def postprocess_ava(outputs, target_sizes: jnp.ndarray,
+                    binary_gate: float = 0.8):
     """AVA postprocess (criterion.py:447-482).
 
     Args:
@@ -30,7 +31,9 @@ def postprocess_ava(outputs, target_sizes: jnp.ndarray):
     logits_b = outputs["pred_logits_b"]
 
     prob_binary = jax.nn.softmax(logits_b, axis=-1)[..., 1:2]
-    prob_gated = jnp.where(prob_binary > 0.8, prob_binary, 0.0)
+    # binary_gate: 0.8 is the reference's offline-eval value; serving
+    # passes its own actor threshold so sub-0.8 detections keep scores
+    prob_gated = jnp.where(prob_binary > binary_gate, prob_binary, 0.0)
     scores = jax.nn.sigmoid(logits) * prob_gated
 
     xyxy = box_ops.box_cxcywh_to_xyxy(boxes)
