@@ -11,6 +11,7 @@ from tubelet_transformer_tpu.train import checkpoint as ckpt_lib
 from tubelet_transformer_tpu.train import engine
 from tubelet_transformer_tpu.train.schedule import (
     cosine_schedule,
+    linear_schedule,
     multistep_schedule,
 )
 
@@ -239,3 +240,19 @@ def test_keep_prunes_old_checkpoints(tmp_path):
     import os
     names = sorted(x for x in os.listdir(d) if x.startswith("ckpt_epoch_"))
     assert names == ["ckpt_epoch_2", "ckpt_epoch_3"]
+
+
+def test_schedules_clamp_past_horizon():
+    """Past total_steps the linear schedule must hold its floor (unclamped
+    it goes NEGATIVE -> gradient ascent) and cosine must hold min_lr
+    (unclamped it climbs back toward base_lr)."""
+    lin = linear_schedule(1e-3, total_steps=100, warmup_steps=0,
+                          warmup_start_lr=1e-5, lr_min_rate=0.01)
+    end = float(lin(100))
+    for s in (101, 200, 10_000):
+        assert float(lin(s)) == end > 0.0
+
+    cos = cosine_schedule(1e-3, 1e-5, total_steps=100, warmup_steps=0,
+                          warmup_start_lr=1e-5)
+    for s in (101, 200, 10_000):
+        np.testing.assert_allclose(float(cos(s)), 1e-5, rtol=1e-6)

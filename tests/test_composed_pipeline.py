@@ -172,7 +172,7 @@ def test_composed_eval_parity_jhmdb(tmp_path, rng, _cpu_torch):
     sd = {k: v for k, v in ref.state_dict().items()}
     params, batch_stats = tc.tuber_params_from_torch_state(
         sd, block_nums=(3, 4, 6, 3), enc_layers=2, dec_layers=2,
-        dataset_mode="jhmdb", temporal_ds_strategy="decoder")
+        temporal_ds_strategy="decoder")
 
     # --- reference pipeline ----------------------------------------------
     jf = load_ref("datasets.jhmdb_frame")
@@ -278,7 +278,7 @@ def test_composed_eval_parity(tmp_path, rng, _cpu_torch):
     sd = {k: v for k, v in ref.state_dict().items()}
     params, batch_stats = tc.tuber_params_from_torch_state(
         sd, block_nums=(3, 4, 6, 3), enc_layers=2, dec_layers=2,
-        dataset_mode="ava", temporal_ds_strategy="avg")
+        temporal_ds_strategy="avg")
 
     # --- reference pipeline ----------------------------------------------
     av = load_ref("datasets.ava_frame")

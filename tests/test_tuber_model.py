@@ -79,7 +79,7 @@ def test_full_model_parity_ava(rng, strategy):
     sd = {k: v for k, v in ref.state_dict().items()}
     params, batch_stats = tc.tuber_params_from_torch_state(
         sd, block_nums=(3, 4, 6, 3), enc_layers=2, dec_layers=2,
-        dataset_mode="ava", temporal_ds_strategy=strategy)
+        temporal_ds_strategy=strategy)
 
     ours = build_model(_our_cfg(strategy))
     clips = rng.normal(0, 1, (1, T, IMG, IMG, 3)).astype(np.float32)
@@ -166,7 +166,7 @@ def test_export_to_reference_pth(rng, tmp_path):
     # round trip through the forward converter is exact
     params2, stats2 = tc.tuber_params_from_torch_state(
         ckpt["model"], block_nums=(3, 4, 6, 3), enc_layers=2, dec_layers=2,
-        dataset_mode="ava", temporal_ds_strategy=strategy)
+        temporal_ds_strategy=strategy)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a, np.float32),
                                       np.asarray(b))

@@ -225,7 +225,6 @@ def load_tuber_pth(cfg: Config, variables: Dict[str, Any],
     params, batch_stats = tc.tuber_params_from_torch_state(
         sd, block_nums=BLOCK_NUMS[cfg.model.backbone_name],
         enc_layers=cfg.model.enc_layers, dec_layers=cfg.model.dec_layers,
-        dataset_mode=cfg.data.dataset_name,
         temporal_ds_strategy=cfg.model.temporal_ds_strategy,
         single_frame=cfg.model.single_frame)
     new_vars = jax.tree.map(np.asarray, jax.device_get(dict(variables)))

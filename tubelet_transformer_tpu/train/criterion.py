@@ -261,9 +261,6 @@ def criterion_ucf(
     aux_loss: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Full JHMDB/UCF criterion with key-frame query gather."""
-    num_boxes = jnp.maximum(
-        jnp.sum(targets.valid.astype(jnp.float32)), 0.0)
-
     if aux_loss:
         logits = outputs["aux_logits"]
         boxes = outputs["aux_boxes"]

@@ -104,6 +104,7 @@ def train_one_epoch(cfg: Config, train_step, state, loader, mesh, rng,
                         writer.add_scalar(f"train/{k}", m.val, gstep)
         end = time.time()
     if prof_active:
+        jax.device_get(metrics)  # flush queued device work into the trace
         _prof.__exit__(None, None, None)
     return state, {k: m.avg for k, m in meters.items()}
 
@@ -154,7 +155,7 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
             m.update(float(out["losses"][k]), bs)
         # full global batch on every host (multi-host: allgather; the
         # model outputs are globally sharded and cannot be device_get)
-        gathered = {k: mesh_lib.gather_global(v) for k, v in arrays.items()}
+        gathered = mesh_lib.gather_global_tree(arrays)
         if not is_main:
             return
         _accumulate(gathered)
@@ -273,7 +274,7 @@ def validate_ucf(cfg: Config, eval_step, state, loader, mesh, epoch: int,
         }
 
     def consume(arrays):
-        gathered = {k: mesh_lib.gather_global(v) for k, v in arrays.items()}
+        gathered = mesh_lib.gather_global_tree(arrays)
         if not is_main:
             return
         _accumulate(gathered)
@@ -345,12 +346,9 @@ def validate_ucf(cfg: Config, eval_step, state, loader, mesh, epoch: int,
             vids = {v for v, _ in dataset.samples}
             for v in vids:
                 oh, ow = dataset.dataset["resolution"][v]
-                if oh <= ow:
-                    nh = dataset.resize_size
-                    nw = int(dataset.resize_size * (ow / oh))
-                else:
-                    nw = dataset.resize_size
-                    nh = int(dataset.resize_size * (oh / ow))
+                # the dataset's own resize policy: GT tubes must land on
+                # exactly the frame the detections were scaled to
+                nh, nw = dataset._video_resize(v)
                 sc = np.array([nw / ow, nh / oh, nw / ow, nh / oh])
                 for ilabel, tubes in dataset.dataset["gttubes"][v].items():
                     for tube in tubes:

@@ -23,9 +23,6 @@ import jax
 import optax
 
 
-_FROZEN_STAGES = ("conv1", "bn1", "layer1_", "layer2_")
-
-
 def stop_grad_stage(cfg) -> int:
     """Deepest fully-frozen CSN boundary: -1 none, 0 after the stem,
     s after layer s, 5 after the whole trunk.  Must mirror param_labels —

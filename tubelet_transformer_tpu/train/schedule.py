@@ -32,7 +32,11 @@ def multistep_schedule(base_lr: float, milestones, gamma: float,
 def cosine_schedule(base_lr: float, min_lr: float, total_steps: int,
                     warmup_steps: int, warmup_start_lr: float):
     def fn(step):
-        step = jnp.asarray(step, jnp.float32)
+        # clamp: steps past the horizon (resume with a shorter config,
+        # changed steps_per_epoch) hold min_lr — unclamped, the cosine
+        # would climb back toward base_lr (timm cycle_limit=1 semantics)
+        step = jnp.minimum(jnp.asarray(step, jnp.float32),
+                           float(total_steps))
         warm = warmup_start_lr + step * (
             (base_lr - warmup_start_lr) / jnp.maximum(warmup_steps, 1))
         cos = min_lr + 0.5 * (base_lr - min_lr) * (
@@ -45,7 +49,10 @@ def cosine_schedule(base_lr: float, min_lr: float, total_steps: int,
 def linear_schedule(base_lr: float, total_steps: int, warmup_steps: int,
                     warmup_start_lr: float, lr_min_rate: float = 0.01):
     def fn(step):
-        step = jnp.asarray(step, jnp.float32)
+        # clamp: past the horizon the unclamped line goes NEGATIVE, which
+        # would silently flip updates into gradient ascent
+        step = jnp.minimum(jnp.asarray(step, jnp.float32),
+                           float(total_steps))
         warm = warmup_start_lr + step * (
             (base_lr - warmup_start_lr) / jnp.maximum(warmup_steps, 1))
         t = step - warmup_steps

@@ -248,7 +248,7 @@ def strip_module_prefix(sd: Mapping[str, Any]) -> Dict[str, Any]:
 
 def tuber_params_from_torch_state(
     sd: Mapping[str, Any], *, block_nums, enc_layers: int = 6,
-    dec_layers: int = 6, dataset_mode: str = "ava",
+    dec_layers: int = 6,
     temporal_ds_strategy: str = "decode", single_frame: bool = True,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Released TubeR ``.pth`` (reference module names) -> our variables.
