@@ -19,7 +19,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _large_negative(dtype) -> float:
+def _large_negative() -> float:
+    """Additive -inf substitute for fp32 attention scores (min/2 leaves
+    headroom so fully-masked softmax rows stay finite). Scores are always
+    computed in float32 (preferred_element_type), never bf16 — min/2 is
+    not representable there."""
     return jnp.finfo(jnp.float32).min / 2.0
 
 
@@ -69,7 +73,7 @@ class MultiHeadAttention(nn.Module):
 
         scores = jnp.einsum("bqhd,bkhd->bhqk", qp, kp, preferred_element_type=jnp.float32)
         if key_padding_mask is not None:
-            neg = _large_negative(scores.dtype)
+            neg = _large_negative()
             scores = jnp.where(key_padding_mask[:, None, None, :], neg, scores)
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)

@@ -135,7 +135,11 @@ class MHAttentionMap(nn.Module):
 
         weights = weights.astype(jnp.float32)
         if mask is not None:  # (B, H, W), True = padding
-            neg = jnp.finfo(jnp.float32).min / 2.0
+            from tubelet_transformer_tpu.models.layers import (
+                _large_negative,
+            )
+
+            neg = _large_negative()
             weights = jnp.where(mask[:, None, None, :, :], neg, weights)
         flat = weights.reshape(bq, qn, -1)
         flat = jax.nn.softmax(flat, axis=-1)
@@ -143,12 +147,10 @@ class MHAttentionMap(nn.Module):
 
 
 def _nearest_resize_torch(x: jnp.ndarray, size) -> jnp.ndarray:
-    """torch F.interpolate(mode='nearest') on (N, H, W, C): idx = floor(i*in/out)."""
-    n, ih, iw, c = x.shape
-    oh, ow = size
-    ri = jnp.floor(jnp.arange(oh) * (ih / oh)).astype(jnp.int32)
-    ci = jnp.floor(jnp.arange(ow) * (iw / ow)).astype(jnp.int32)
-    return x[:, ri][:, :, ci]
+    """torch F.interpolate(mode='nearest') on (N, H, W, C)."""
+    from tubelet_transformer_tpu.models.tuber import nearest_resize_mask
+
+    return nearest_resize_mask(x, int(size[0]), int(size[1]))
 
 
 class MaskHeadSmallConv(nn.Module):

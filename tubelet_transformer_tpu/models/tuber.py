@@ -40,17 +40,19 @@ from tubelet_transformer_tpu.models.transformer import Transformer
 from tubelet_transformer_tpu.ops.position_encoding import position_embedding_sine_3d
 
 
-def nearest_resize_mask(mask: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Nearest-neighbour downsample of a (B, H, W) bool mask.
+def nearest_resize_mask(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Nearest-neighbour resize of axes (1, 2) — (B, H, W[, ...]) inputs.
 
-    Matches ``F.interpolate(mode='nearest')`` on a float mask
-    (backbone_builder.py:85): out[i] = in[floor(i * H / out_h)].
+    Matches ``F.interpolate(mode='nearest')`` (backbone_builder.py:85):
+    out[i] = in[floor(i * H / out_h)]. The single torch-parity nearest
+    resize in the repo: the (B, H, W) pad masks here and the
+    (N, H, W, C) FPN maps in models/segmentation.py both route through it.
     """
-    mask = jnp.asarray(mask)
-    h, w = mask.shape[-2:]
+    x = jnp.asarray(x)
+    h, w = x.shape[1], x.shape[2]
     rows = jnp.floor(jnp.arange(out_h) * (h / out_h)).astype(jnp.int32)
     cols = jnp.floor(jnp.arange(out_w) * (w / out_w)).astype(jnp.int32)
-    return mask[:, rows][:, :, cols]
+    return x[:, rows][:, :, cols]
 
 
 class TubeR(nn.Module):

@@ -43,11 +43,25 @@ def load_metrics(path: str) -> Dict[str, Tuple[List[int], List[float]]]:
         for line in f:
             if not line.strip():
                 continue
-            rec = json.loads(line)
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                # a process killed mid-write leaves a truncated final line;
+                # the post-crash plot is exactly when this tool is needed
+                continue
             s = series[rec["tag"]]
             s[0].append(int(rec["step"]))
             s[1].append(float(rec["value"]))
-    return dict(series)
+    # resumed runs append overlapping step ranges: sort by step and keep
+    # the LAST value per step so curves don't zigzag backwards
+    out: Dict[str, Tuple[List[int], List[float]]] = {}
+    for tag, (steps, values) in series.items():
+        by_step = {}
+        for st, v in zip(steps, values):
+            by_step[st] = v
+        ordered = sorted(by_step.items())
+        out[tag] = ([st for st, _ in ordered], [v for _, v in ordered])
+    return out
 
 
 def _panel_of(tag: str) -> str:
@@ -92,7 +106,9 @@ def plot_training(path: str, out_path: str = "training_curves.png",
         if len(panel_tags) > 1:
             ax.legend(fontsize=7, frameon=False)
         if panel == "training loss" and all(
-                v > 0 for t in panel_tags for v in series[t][1][:1]):
+                v > 0 for t in panel_tags for v in series[t][1]):
+            # log scale only when EVERY value is positive — zeros/negatives
+            # would be silently dropped from a log axis
             ax.set_yscale("log")
     axes[-1, 0].set_xlabel("step", fontsize=9)
     fig.tight_layout()
