@@ -113,7 +113,7 @@ def main():
         train_metric()
 
 
-def train_metric(bs: int = 8, budget_s: int = 420):
+def train_metric(bs: int = 8, budget_s: int = 560):
     """Second JSON line: CSN-152 train-step throughput, the reference
     fine-tune recipe (pretrained backbone, tune_point=4, bs=8 — the
     measured per-chip optimum).  No published train-throughput baseline
