@@ -10,3 +10,13 @@ test-slow:
 
 test-all:
 	python -m pytest tests -q
+
+# Driver-style checks, runnable by hand.
+.PHONY: dryrun bench
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "\
+	import jax; jax.config.update('jax_platforms','cpu'); \
+	from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+bench:
+	python bench.py
