@@ -78,3 +78,29 @@ def test_jitter_is_per_clip_and_bounded():
     assert not np.allclose(np.asarray(out), np.asarray(base))
     assert np.isfinite(np.asarray(out)).all()
     assert np.abs(np.asarray(out, np.float32)).max() < 4.0
+
+
+def test_pad_mask_zeroes_padding_like_host_path(rng):
+    """Device mode must feed the backbone the SAME padded region as the
+    host path (0.0 post-normalization, DETR NestedTensor semantics) — not
+    normalized black (~-2.1 sigma), and never jittered gray."""
+    h = w = 16
+    clip = rng.integers(0, 256, (1, 2, h, w, 3), dtype=np.uint8)
+    clip[:, :, h // 2:, :] = 0          # canvas padding
+    pad = np.zeros((1, h, w), bool)
+    pad[:, h // 2:, :] = True
+
+    out = np.asarray(D.device_preprocess(jnp.asarray(clip),
+                                         pad_mask=jnp.asarray(pad)))
+    assert np.abs(out[0, :, h // 2:, :]).max() == 0.0
+    # valid region still ImageNet-normalized
+    ref = (clip[0, :, : h // 2].astype(np.float32) / 255.0
+           - np.asarray(D.IMAGENET_MEAN)) / np.asarray(D.IMAGENET_STD)
+    np.testing.assert_allclose(out[0, :, : h // 2], ref, rtol=1e-5,
+                               atol=1e-5)
+
+    # jittered padding is zeroed too
+    out_j = np.asarray(D.device_preprocess(
+        jnp.asarray(clip), key=jax.random.PRNGKey(0), jitter=True,
+        pad_mask=jnp.asarray(pad)))
+    assert np.abs(out_j[0, :, h // 2:, :]).max() == 0.0

@@ -115,6 +115,15 @@ class AVADataset:
             from tubelet_transformer_tpu.data import native
 
             use_native = native.is_available()
+            if not use_native and not getattr(self, "_warned_pil", False):
+                # say so ONCE: native resizes bilinear, PIL default is
+                # bicubic — a silent fallback changes pixel values between
+                # runs that believe they share DATA.NATIVE_DECODE
+                self._warned_pil = True
+                print("warning: DATA.NATIVE_DECODE requested but the "
+                      "native decoder is unavailable; falling back to PIL "
+                      "(bicubic resize — pixels differ slightly from the "
+                      "native bilinear path)")
         frames = []
         if use_native:
             from tubelet_transformer_tpu.data import native

@@ -23,8 +23,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-IMAGENET_MEAN = (0.485, 0.456, 0.406)
-IMAGENET_STD = (0.229, 0.224, 0.225)
+# the single canonical copy lives in transforms.py (host path + native C
+# canvas path import it from there too) — divergent copies would silently
+# split host- and device-normalized inputs
+from tubelet_transformer_tpu.data.transforms import (  # noqa: F401
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
 
 
 def rgb_to_hsv_cv(rgb):
@@ -84,12 +89,17 @@ def hsv_jitter(clips, key, hue_shift=20.0, sat_shift=0.1, val_shift=0.1):
 
 
 def device_preprocess(clips, key=None, jitter=False, dtype=jnp.float32,
-                      hue_shift=20.0, sat_shift=0.1, val_shift=0.1):
+                      hue_shift=20.0, sat_shift=0.1, val_shift=0.1,
+                      pad_mask=None):
     """uint8 (B,T,H,W,3) -> ImageNet-normalized ``dtype`` clips, in-graph.
 
-    Padding-canvas zeros stay finite (they map to the normalized value of
-    black, exactly like the host path).  No-op pass-through for float
-    inputs (host already normalized)."""
+    ``pad_mask`` (B,H,W, True = canvas padding) zeroes the padded region
+    AFTER normalization, matching the host path exactly (there,
+    pad_to_canvas fills zeros post-normalize — DETR NestedTensor
+    semantics). Without the mask, canvas zeros would land at normalized
+    black (~-2.1 sigma) and train-time jitter would turn them into random
+    gray — a silent input divergence between the two preprocess modes.
+    No-op pass-through for float inputs (host already normalized)."""
     if clips.dtype != jnp.uint8:
         return clips.astype(dtype)
     x = clips.astype(jnp.float32)
@@ -98,4 +108,7 @@ def device_preprocess(clips, key=None, jitter=False, dtype=jnp.float32,
         x = hsv_jitter(x, key, hue_shift, sat_shift, val_shift)
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32) * 255.0
     std = jnp.asarray(IMAGENET_STD, jnp.float32) * 255.0
-    return ((x - mean) / std).astype(dtype)
+    out = (x - mean) / std
+    if pad_mask is not None:
+        out = jnp.where(pad_mask[:, None, :, :, None], 0.0, out)
+    return out.astype(dtype)

@@ -54,10 +54,18 @@ def is_available() -> bool:
     return _load() is not None
 
 
+def _lib_or_raise() -> ctypes.CDLL:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native clip decoder unavailable (no toolchain / build failed); "
+            "check is_available() and use the PIL path")
+    return lib
+
+
 def jpeg_dims(data: bytes) -> Tuple[int, int]:
     """(width, height) of a JPEG buffer."""
-    lib = _load()
-    assert lib is not None
+    lib = _lib_or_raise()
     w = ctypes.c_int()
     h = ctypes.c_int()
     rc = lib.tuber_jpeg_dims(data, ctypes.c_ulong(len(data)),
@@ -69,8 +77,7 @@ def jpeg_dims(data: bytes) -> Tuple[int, int]:
 
 def decode_jpeg(data: bytes, target_w: int, target_h: int) -> np.ndarray:
     """Decode + resize to (target_h, target_w, 3) uint8 RGB."""
-    lib = _load()
-    assert lib is not None
+    lib = _lib_or_raise()
     out = np.empty((target_h, target_w, 3), np.uint8)
     rc = lib.tuber_decode_jpeg(
         data, ctypes.c_ulong(len(data)), ctypes.c_int(target_w),
@@ -88,9 +95,18 @@ def decode_to_canvas(data: bytes, valid_w: int, valid_h: int,
                      canvas: np.ndarray) -> None:
     """Fused decode -> resize -> normalize into a (Hc, Wc, 3) float32 canvas
     (top-left placement; caller zeroes the canvas)."""
-    lib = _load()
-    assert lib is not None
+    lib = _lib_or_raise()
     ch, cw = canvas.shape[:2]
+    # the C side writes valid_h rows of valid_w*3 floats at canvas stride
+    # with NO bounds checks — validate the invariants the pure-Python
+    # pad_to_canvas enforces, or a bad call heap-corrupts a loader worker
+    if valid_w > cw or valid_h > ch or valid_w <= 0 or valid_h <= 0:
+        raise ValueError(f"valid ({valid_h}, {valid_w}) exceeds canvas "
+                         f"({ch}, {cw})")
+    if canvas.dtype != np.float32 or not canvas.flags["C_CONTIGUOUS"] \
+            or canvas.shape[2:] != (3,):
+        raise ValueError("canvas must be a C-contiguous float32 "
+                         "(H, W, 3) array")
     rc = lib.tuber_decode_to_canvas(
         data, ctypes.c_ulong(len(data)), ctypes.c_int(valid_w),
         ctypes.c_int(valid_h), ctypes.c_int(cw), ctypes.c_int(ch),

@@ -140,8 +140,9 @@ def generate_bank(cfg, model, variables, loader, mesh,
 
     @jax.jit
     def gen_step(variables, clips, pad_mask):
-        out = model.apply(variables, device_preprocess(clips), pad_mask,
-                          train=False)
+        out = model.apply(variables,
+                          device_preprocess(clips, pad_mask=pad_mask),
+                          pad_mask, train=False)
         prob = jax.nn.softmax(out["pred_logits_b"], axis=-1)[..., 1]
         return out["lfb_features"], prob
 

@@ -202,7 +202,8 @@ class StreamingDetector:
     # -- device step ------------------------------------------------------
 
     def _detect_fn(self, variables, clip_u8, pad_mask, lfb_feats, lfb_mask):
-        clips = device_preprocess(clip_u8, dtype=jnp.float32)
+        clips = device_preprocess(clip_u8, dtype=jnp.float32,
+                                  pad_mask=pad_mask)
         kw = {}
         if self.memory is not None:
             kw = dict(lfb_features=lfb_feats, lfb_mask=lfb_mask)

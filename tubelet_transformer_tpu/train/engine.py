@@ -52,8 +52,10 @@ def create_train_state(cfg: Config, model, rng, sample_batch,
                        steps_per_epoch: int):
     # jit the init: eager flax init dispatches every op separately, which is
     # pathologically slow over a remote-TPU tunnel (minutes for CSN-152).
-    clips = device_preprocess(jnp.asarray(sample_batch["clips"]))
     pad_mask = sample_batch.get("pad_mask")
+    clips = device_preprocess(jnp.asarray(sample_batch["clips"]),
+                              pad_mask=None if pad_mask is None
+                              else jnp.asarray(pad_mask))
     # flax init only creates params for modules actually called: a bank
     # batch must be present at init or the lfb fusion params would be
     # missing when the train step later feeds lfb_features
@@ -154,7 +156,7 @@ def make_train_step(cfg: Config, model, tx):
         # photometric stage for uint8 clips (host shipped raw pixels);
         # no-op for float inputs
         clips = device_preprocess(batch["clips"], key=jax.random.fold_in(
-            step_rng, 1), jitter=True)
+            step_rng, 1), jitter=True, pad_mask=batch.get("pad_mask"))
 
         if accum == 1:
             (total, (new_bs, loss_dict)), grads = microbatch_loss(
@@ -244,7 +246,9 @@ def make_eval_step(cfg: Config, model):
     def eval_step(state: TrainState, batch):
         outputs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            device_preprocess(batch["clips"]), batch.get("pad_mask"),
+            device_preprocess(batch["clips"],
+                              pad_mask=batch.get("pad_mask")),
+            batch.get("pad_mask"),
             train=False, **_lfb_kwargs(batch))
         if cfg.val.compute_losses:
             targets = _targets_from_batch(cfg, batch)
@@ -264,7 +268,9 @@ def make_forward(cfg: Config, model):
     """Plain jitted inference forward (benchmark / serving path)."""
 
     def forward(variables, clips, pad_mask=None):
-        return model.apply(variables, device_preprocess(clips), pad_mask,
+        return model.apply(variables,
+                           device_preprocess(clips, pad_mask=pad_mask),
+                           pad_mask,
                            train=False)
 
     return jax.jit(forward)
