@@ -1,5 +1,5 @@
-# Test tiers (the full suite cannot finish in bounded time on a 1-core box:
-# the multihost test alone budgets ~28 min). `test-fast` targets < 5 min.
+# Test tiers (the full suite takes ~55 min on this 1-core box).
+# `test-fast` runs in ~8 min here.
 .PHONY: test-fast test-slow test-all
 
 test-fast:
