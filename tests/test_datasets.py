@@ -399,3 +399,35 @@ def test_loader_releases_consumed_prefetch(tmp_path, rng):
             alive = sum(r() is not None for r in tracked)
             assert alive <= 3 * 2, f"{alive} stale samples alive"
         del batch
+
+
+def test_loader_abandonment_cancels_prefetch():
+    """Abandoning the loader iterator (one-batch probe, early break) must
+    return immediately and cancel the queued prefetch decodes instead of
+    executing them all behind shutdown(wait=True)."""
+    import threading
+    import time
+
+    class SlowCountingDS:
+        def __init__(self):
+            self.calls = 0
+            self._lock = threading.Lock()
+
+        def __len__(self):
+            return 8
+
+        def get(self, index, rng):
+            with self._lock:
+                self.calls += 1
+            time.sleep(0.2)
+            return {"x": np.zeros((2,), np.float32)}
+
+    ds = SlowCountingDS()
+    loader = DataLoader(ds, 2, shuffle=False, num_workers=1, prefetch=4)
+    it = iter(loader)
+    next(it)                      # consume ONE batch (2 samples)
+    t0 = time.perf_counter()
+    it.close()                    # abandon: 6 queued decodes must cancel
+    assert time.perf_counter() - t0 < 0.5   # old code blocks ~1.2 s here
+    time.sleep(0.5)               # let any single in-flight decode finish
+    assert ds.calls <= 4          # 2 consumed + <=2 in flight; never all 8

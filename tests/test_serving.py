@@ -231,3 +231,77 @@ def test_pool_close_stream_releases_state():
     pool.close_stream("a")
     assert set(pool._streams) == {"b"}
     pool.close_stream("missing")  # no-op
+
+
+def test_pool_failed_forward_keeps_streams_due():
+    """A transient device error mid-step must not consume the streams'
+    keyframe cadence: the retried step() serves the SAME due keyframes
+    instead of silently skipping a full detect_every interval."""
+    import pytest
+
+    from tubelet_transformer_tpu.serving import StreamingDetectorPool
+
+    pool = StreamingDetectorPool(_cfg(), fps=8.0, detect_every=8,
+                                 max_batch=2)
+    for f in _frames(16):
+        pool.push_frame("a", f)
+    assert pool._due() == ["a"]
+    orig = pool._tpl._detect
+
+    def boom(*a, **k):
+        raise RuntimeError("transient device error")
+
+    pool._tpl._detect = boom
+    with pytest.raises(RuntimeError):
+        pool.step()
+    # still due: cadence resets only once a result exists
+    assert pool._due() == ["a"]
+    pool._tpl._detect = orig
+    out = pool.step()
+    assert "a" in out and pool._due() == []
+
+
+def test_pool_concurrent_push_and_step():
+    """Receiver threads pushing/closing streams while a scheduler thread
+    runs step(): no dict-mutation crashes, no torn state, results flow."""
+    import threading
+    import time as _time
+
+    from tubelet_transformer_tpu.serving import StreamingDetectorPool
+
+    pool = StreamingDetectorPool(_cfg(), fps=8.0, detect_every=8,
+                                 max_batch=4)
+    stop = threading.Event()
+    errors = []
+
+    def feeder(sid, seed):
+        frames = _frames(8, seed=seed)
+        i = 0
+        try:
+            while not stop.is_set():
+                pool.push_frame(sid, frames[i % 8])
+                i += 1
+                if sid == "churn" and i % 40 == 0:
+                    pool.close_stream(sid)
+                _time.sleep(0.001)
+        except Exception as exc:  # pragma: no cover - the assertion target
+            errors.append(exc)
+
+    threads = [threading.Thread(target=feeder, args=(sid, k))
+               for k, sid in enumerate(["a", "b", "c", "churn"])]
+    for th in threads:
+        th.start()
+    n_results = 0
+    deadline = _time.time() + 60.0
+    try:
+        while n_results < 6 and _time.time() < deadline:
+            out = pool.step()
+            n_results += len(out)
+            if not out:
+                _time.sleep(0.002)
+    finally:
+        stop.set()
+        for th in threads:
+            th.join()
+    assert not errors, errors
+    assert n_results >= 6

@@ -150,14 +150,19 @@ def run_training(cfg: Config) -> None:
     # next epoch boundary; a resumed run continues from it (MODEL.LOAD).
     # Installed first so a signal during the (minutes-long) compile phase
     # is not fatal.
+    import os
     import signal
 
     preempted = {"flag": False}
 
     def _request_stop(signum, frame):
         preempted["flag"] = True
-        print(f"signal {signum}: will checkpoint and stop at the next "
-              "epoch boundary", flush=True)
+        # os.write, not print(): the signal can interrupt the main thread
+        # mid-write to buffered stdout, and a nested print() raises
+        # "reentrant call inside BufferedWriter" — killing the run instead
+        # of checkpointing it
+        os.write(2, (f"signal {signum}: will checkpoint and stop at the "
+                     "next epoch boundary\n").encode())
 
     prev_handlers = {
         s: signal.signal(s, _request_stop)
@@ -210,6 +215,10 @@ def _run_training_body(cfg: Config, preempted) -> None:
         # device_get of non-addressable shards fails on multi-host meshes).
         latest = ckpt_lib.latest_checkpoint_any_run(
             cfg.log.base_path, cfg.log.save_dir, exp_name=cfg.log.exp_name)
+        # Rank 0's choice is authoritative: independent globs on a shared
+        # FS can disagree (attribute-cache lag) and offset the hosts'
+        # epoch loops — mismatched collectives hang the job.
+        latest = mesh_lib.broadcast_string(latest or "") or None
         if latest:
             state, start_epoch, _ = ckpt_lib.load_checkpoint(latest, state)
             start_epoch += 1
@@ -234,21 +243,24 @@ def _run_training_body(cfg: Config, preempted) -> None:
             state, _ = loop_lib.train_one_epoch(
                 cfg, train_step, state, train_loader, mesh, rng, epoch,
                 writer)
+            # Snapshot the stop decision ONCE per boundary. A SIGTERM may
+            # reach only some hosts (or at different epoch boundaries); the
+            # save/stop decision must be collective or the orbax save
+            # deadlocks — and every later branch must read the SNAPSHOT,
+            # not the live flag: a signal landing after the allgather would
+            # otherwise flip this host's branches while the others (which
+            # agreed on stop=False) run validate/train collectives instead.
+            # The live flag stays set as input to the NEXT boundary's
+            # allgather, so the late signal is honored one epoch later on
+            # every host at once.
+            stop = bool(preempted["flag"])
             if jax.process_count() > 1:
-                # A SIGTERM may reach only some hosts (or at different
-                # epoch boundaries); the save/stop decision must be
-                # collective or the orbax save deadlocks. Max-allreduce
-                # the local flag so every process takes the same branch.
                 import numpy as np
                 from jax.experimental import multihost_utils
 
-                # never assign over the local flag: a SIGTERM that lands
-                # while the allgather blocks would be overwritten (and
-                # lost for good — the signal is delivered once)
-                if bool(multihost_utils.process_allgather(
-                        np.int32(preempted["flag"])).max()):
-                    preempted["flag"] = True
-            if (preempted["flag"] or epoch % cfg.log.save_freq == 0
+                stop = bool(multihost_utils.process_allgather(
+                    np.int32(stop)).max())
+            if (stop or epoch % cfg.log.save_freq == 0
                     or epoch == cfg.train.epoch_num - 1):
                 # all processes participate (orbax save is a collective;
                 # the primary host writes the data); with LOG.ASYNC_CKPT
@@ -258,7 +270,7 @@ def _run_training_body(cfg: Config, preempted) -> None:
                 ckpt_lib.save_checkpoint(dirs["ckpt"], state, epoch, cfg=cfg,
                                          keep=cfg.log.keep_ckpts,
                                          async_save=cfg.log.async_ckpt)
-            if preempted["flag"]:
+            if stop:
                 print(f"preempted: checkpointed epoch {epoch}, exiting")
                 break
             if epoch % cfg.val.freq == 0 or epoch == cfg.train.epoch_num - 1:

@@ -101,7 +101,8 @@ class DataLoader:
                 (self.seed * 1_000_003 + epoch_seed) ^ (index * 2_654_435_761))
             return self.dataset.get(index, rng)
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
             pending = []
             ahead = min(self.prefetch, len(batches))
             for b in range(ahead):
@@ -116,3 +117,10 @@ class DataLoader:
                 # its full decoded sample, so keeping the whole epoch's list
                 # alive leaks ~batch x sample-size per step on real datasets
                 yield collate([f.result() for f in futs])
+        finally:
+            # Abandoning the iterator (early break, exception, one-batch
+            # sample probe) must not decode the queued prefetch batches:
+            # the `with` form shuts down with wait=True and no cancel,
+            # stalling the caller for ~prefetch full batch decodes of
+            # thrown-away work — e.g. delaying the preemption checkpoint.
+            pool.shutdown(wait=False, cancel_futures=True)

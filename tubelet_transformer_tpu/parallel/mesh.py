@@ -107,6 +107,26 @@ def gather_global_tree(tree) -> dict:
                         multihost_utils.process_allgather(tree, tiled=True))
 
 
+def broadcast_string(s: str, max_len: int = 4096) -> str:
+    """Rank 0's string on every host (fixed-size uint8 broadcast).
+
+    Resume paths must agree on ONE checkpoint: on a shared FS each host's
+    directory listing can lag (NFS/GCS-fuse attribute caches), so hosts
+    globbing independently may pick different 'newest' checkpoints and
+    offset their epoch loops — a collective deadlock."""
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+
+    b = s.encode()
+    if len(b) > max_len:
+        raise ValueError(f"string exceeds broadcast buffer ({len(b)} bytes)")
+    buf = np.zeros((max_len,), np.uint8)
+    buf[:len(b)] = np.frombuffer(b, np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(out)).rstrip(b"\x00").decode()
+
+
 def gather_global(x) -> np.ndarray:
     """Full value of ``x`` on every host, as numpy.
 

@@ -337,6 +337,13 @@ class StreamingDetectorPool:
     ``step()`` — returns ``{stream_id: KeyframeResult}`` for every stream
     that fired. Per-stream rolling clip windows and (with ``cfg.use_lfb``)
     per-stream long-term memories are kept independently.
+
+    Thread-safe: per-stream receiver threads may call ``push_frame`` /
+    ``close_stream`` / ``set_deadline`` concurrently with a scheduler
+    thread calling ``step()``. The pool lock is NOT held across the device
+    forward — stream state is snapshotted per chunk, so frames keep
+    flowing while a batch is on the chip; a stream closed mid-forward
+    simply drops its result.
     """
 
     def __init__(self, cfg: Config, variables=None, *, max_batch: int = 8,
@@ -352,6 +359,11 @@ class StreamingDetectorPool:
             actor_threshold=actor_threshold, rng_seed=rng_seed, mesh=mesh)
         self._mk = (memory_keyframes, memory_slots)
         self._streams: Dict = {}
+        import threading
+
+        # guards _streams and all per-stream mutable state (frame deques,
+        # cadence counters, memory); never held across the device forward
+        self._lock = threading.RLock()
 
     def _stream(self, sid):
         if sid not in self._streams:
@@ -376,7 +388,8 @@ class StreamingDetectorPool:
         pool never evicts on its own — a server with churning stream ids
         must close streams or the per-stream canvases (~12 MB each at
         256px/T=32) accumulate unboundedly."""
-        self._streams.pop(sid, None)
+        with self._lock:
+            self._streams.pop(sid, None)
 
     def set_deadline(self, sid, deadline_ms: Optional[float]) -> None:
         """Latency SLO for one stream: maximum milliseconds between a
@@ -384,19 +397,20 @@ class StreamingDetectorPool:
         tighter remaining slack are scheduled first when more streams are
         due than ``max_batch`` can serve in one forward (deadline-monotonic
         admission; None = best-effort, scheduled after all SLO streams)."""
-        self._stream(sid)._deadline_ms = deadline_ms
+        with self._lock:
+            self._stream(sid)._deadline_ms = deadline_ms
 
     def push_frame(self, sid, frame: np.ndarray) -> None:
         """Feed one frame of one stream (no detection yet; see step())."""
-        s = self._stream(sid)
-        s._frames.append(s._prep_frame(frame))
-        s._frame_count += 1
-        s._since_detect += 1
-        window = s.t_len * s.stride
-        if (getattr(s, "_due_at", None) is None
-                and len(s._frames) >= window
-                and s._since_detect >= s.detect_every):
-            s._due_at = time.perf_counter()
+        with self._lock:
+            s = self._stream(sid)
+            s._frames.append(s._prep_frame(frame))
+            s._frame_count += 1
+            s._since_detect += 1
+            window = s.t_len * s.stride
+            if (s._due_at is None and len(s._frames) >= window
+                    and s._since_detect >= s.detect_every):
+                s._due_at = time.perf_counter()
 
     def _due(self):
         """Due streams, tightest remaining deadline slack first."""
@@ -418,7 +432,8 @@ class StreamingDetectorPool:
         """Run padded batched detections over the due streams, tightest
         deadline first. ``max_chunks`` bounds the forwards per call
         (overflow streams stay due and lead the next step)."""
-        due = self._due()
+        with self._lock:
+            due = self._due()
         if not due:
             return {}
         if max_chunks is not None:
@@ -427,29 +442,38 @@ class StreamingDetectorPool:
         t = self._tpl
         for chunk_start in range(0, len(due), self.max_batch):
             chunk = due[chunk_start:chunk_start + self.max_batch]
-            n = len(chunk)
+            # snapshot each stream's inputs + geometry under the lock; the
+            # device forward runs unlocked so receiver threads keep pushing
+            clips, pads, mems, mmasks, snaps = [], [], [], [], []
+            with self._lock:
+                for sid in chunk:
+                    s = self._streams.get(sid)
+                    if s is None:       # closed since _due()
+                        continue
+                    clips.append(np.stack(list(s._frames)[:: s.stride]))
+                    nh, nw = s._valid_hw
+                    p = np.ones((t.img_size, t.img_size), bool)
+                    p[:nh, :nw] = False
+                    pads.append(p)
+                    if s.memory is not None:
+                        f, m = s.memory.window()
+                    else:
+                        f = np.zeros((1, t.cfg.model.d_model), np.float32)
+                        m = np.ones((1,), bool)
+                    mems.append(f)
+                    mmasks.append(m)
+                    snaps.append((sid, s._frame_count, s._scale, s._src_hw,
+                                  s._since_detect, s._due_at, s._deadline_ms,
+                                  s.memory is not None))
+            n = len(snaps)
+            if not n:
+                continue
             bucket = 1
             while bucket < n:
                 bucket *= 2
             # max_batch bounds the compiled batch even when it is not a
             # power of two (chunk of 5, max_batch 6: bucket 6, not 8)
             bucket = min(bucket, self.max_batch)
-            clips, pads, mems, mmasks = [], [], [], []
-            for sid in chunk:
-                s = self._streams[sid]
-                s._since_detect = 0
-                clips.append(np.stack(list(s._frames)[:: s.stride]))
-                nh, nw = s._valid_hw
-                p = np.ones((t.img_size, t.img_size), bool)
-                p[:nh, :nw] = False
-                pads.append(p)
-                if s.memory is not None:
-                    f, m = s.memory.window()
-                else:
-                    f = np.zeros((1, t.cfg.model.d_model), np.float32)
-                    m = np.ones((1,), bool)
-                mems.append(f)
-                mmasks.append(m)
             pad_n = bucket - n
             if pad_n:
                 clips += [np.zeros_like(clips[0])] * pad_n
@@ -467,28 +491,39 @@ class StreamingDetectorPool:
             scores, boxes, binary, feats = jax.device_get(t._detect(
                 t.variables, *batch))
             lat = (time.perf_counter() - t0) * 1e3
-            for i, sid in enumerate(chunk):
-                s = self._streams[sid]
-                bin_i = _per_query_binary(binary[i], scores.shape[1])
-                if s.memory is not None:
-                    s.memory.push(feats[i], bin_i, s.actor_threshold)
-                b = boxes[i] / s._scale
-                sh, sw = s._src_hw
-                b = np.clip(b, 0, [sw, sh, sw, sh])
-                dets = [Detection(box=b[q], actor_prob=float(bin_i[q]),
-                                  scores=scores[i][q])
-                        for q in range(len(bin_i))
-                        if bin_i[q] > s.actor_threshold]
-                key_idx = s._frame_count - s.t_len * s.stride // 2
-                waited = ((time.perf_counter() - s._due_at) * 1e3
-                          if getattr(s, "_due_at", None) is not None else 0.0)
-                s._due_at = None
-                dl = getattr(s, "_deadline_ms", None)
-                results[sid] = KeyframeResult(
-                    frame_index=key_idx, time_s=key_idx / s.fps,
-                    detections=dets, latency_ms=lat,
-                    memory_size=int((~np.asarray(mmasks[i])).sum()
-                                    if s.memory is not None else 0),
-                    waited_ms=waited,
-                    deadline_met=None if dl is None else waited <= dl)
+            now = time.perf_counter()
+            with self._lock:
+                for i, (sid, frame_count, scale, src_hw, sd0, due_at, dl,
+                        has_mem) in enumerate(snaps):
+                    s = self._streams.get(sid)
+                    if s is None:
+                        continue        # closed mid-forward: drop result
+                    # cadence resets only now that a result exists: an
+                    # exception from the forward leaves the streams due,
+                    # so a retried step() serves the same keyframes
+                    # instead of silently skipping a full detect_every
+                    # interval. Subtract the snapshot (not =0) to keep
+                    # frames pushed mid-forward.
+                    s._since_detect -= sd0
+                    s._due_at = None
+                    bin_i = _per_query_binary(binary[i], scores.shape[1])
+                    if s.memory is not None:
+                        s.memory.push(feats[i], bin_i, s.actor_threshold)
+                    b = boxes[i] / scale
+                    sh, sw = src_hw
+                    b = np.clip(b, 0, [sw, sh, sw, sh])
+                    dets = [Detection(box=b[q], actor_prob=float(bin_i[q]),
+                                      scores=scores[i][q])
+                            for q in range(len(bin_i))
+                            if bin_i[q] > t.actor_threshold]
+                    key_idx = frame_count - t.t_len * t.stride // 2
+                    waited = ((now - due_at) * 1e3
+                              if due_at is not None else 0.0)
+                    results[sid] = KeyframeResult(
+                        frame_index=key_idx, time_s=key_idx / t.fps,
+                        detections=dets, latency_ms=lat,
+                        memory_size=int((~np.asarray(mmasks[i])).sum()
+                                        if has_mem else 0),
+                        waited_ms=waited,
+                        deadline_met=None if dl is None else waited <= dl)
         return results

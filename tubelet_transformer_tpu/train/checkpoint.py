@@ -90,20 +90,17 @@ def save_checkpoint(ckpt_dir: str, state, epoch: int,
     os.makedirs(ckpt_dir, exist_ok=True)
     meta = {"step": int(state.step), "epoch": epoch,
             "max_accuracy": float(max_accuracy)}
+    # Both paths hand orbax the live jax.Arrays: orbax gathers each array's
+    # shards itself, so TP/PP-sharded params spanning non-addressable
+    # devices save correctly (an eager jax.device_get here would raise
+    # "spans non-addressable devices" on any multi-host MESH.MODEL>1 run).
+    payload = {"params": state.params,
+               "batch_stats": state.batch_stats,
+               "opt_state": state.opt_state, **meta}
     if async_save:
-        payload = {"params": state.params,
-                   "batch_stats": state.batch_stats,
-                   "opt_state": state.opt_state, **meta}
         _async_checkpointer().save(path, payload, force=True)
     else:
-        ckptr = ocp.PyTreeCheckpointer()
-        payload = {
-            "params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats),
-            "opt_state": jax.device_get(state.opt_state),
-            **meta,
-        }
-        ckptr.save(path, payload, force=True)
+        ocp.PyTreeCheckpointer().save(path, payload, force=True)
     if keep > 0 and jax.process_index() == 0:
         _prune_old_checkpoints(ckpt_dir, keep, skip=path)
     return path
