@@ -7,7 +7,14 @@ each tick, and measures the wall latency of each fired keyframe detection
 (push of the due frame -> result returned). Reports per-stream-count
 p50/p95/max step latency and sustained keyframe throughput.
 
-Usage: python benchmarks/bench_serving.py [streams ...]  (default 1 4 8)
+``--churn K`` additionally closes the oldest stream and opens a fresh one
+every K *detection periods* (camera connect/disconnect; a period is
+``detect_every`` ticks, so churned-in streams survive long enough to
+refill their window and fire), with a per-stream deadline SLO set on
+every stream — reports the deadline hit-rate alongside latency.
+
+Usage: python benchmarks/bench_serving.py [streams ...] [--churn K]
+       (default streams: 1 4 8)
 """
 
 import os
@@ -19,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def bench(n_streams: int, ticks: int = 40, fps: float = 30.0):
+def bench(n_streams: int, ticks: int = 40, fps: float = 30.0,
+          churn_every: int = 0):
     import json
 
     import jax
@@ -73,38 +81,74 @@ def bench(n_streams: int, ticks: int = 40, fps: float = 30.0):
             pool.push_frame(s, frame)
         pool.step()
 
+    deadline_ms = 250.0 if on_tpu else 2000.0
+    live = list(range(n_streams))
+    next_id = n_streams
+    churn_ticks = 0
+    if churn_every:
+        for s in live:
+            pool.set_deadline(s, deadline_ms)
+        # churn cadence in ticks: K detection periods, so a churned-in
+        # stream outlives window refill + detect_every and actually fires
+        churn_ticks = churn_every * pool._tpl.detect_every
+        ticks = max(ticks, 4 * churn_ticks)   # several churn cycles
+
     lat = []
     fired = 0
+    met = 0
+    slo_checked = 0
     t_start = time.perf_counter()
-    for _ in range(ticks):
-        for s in range(n_streams):
+    for tick in range(ticks):
+        if churn_ticks and tick and tick % churn_ticks == 0:
+            pool.close_stream(live.pop(0))     # oldest camera disconnects
+            pool.set_deadline(next_id, deadline_ms)  # fresh one connects
+            live.append(next_id)
+            next_id += 1
+        for s in live:
             pool.push_frame(s, frame)
         t0 = time.perf_counter()
         res = pool.step()
         if res:
             lat.append(time.perf_counter() - t0)
             fired += len(res)
+            for r in res.values():
+                if r.deadline_met is not None:
+                    slo_checked += 1
+                    met += bool(r.deadline_met)
     wall = time.perf_counter() - t_start
 
     lat_ms = sorted(x * 1e3 for x in lat)
 
     def pct(p):
-        return lat_ms[min(len(lat_ms) - 1, int(p * len(lat_ms)))] \
-            if lat_ms else float("nan")
+        return (round(lat_ms[min(len(lat_ms) - 1, int(p * len(lat_ms)))], 2)
+                if lat_ms else None)
 
-    print(json.dumps({
+    rec = {
         "metric": "serving_pool_step_latency_ms",
         "streams": n_streams,
-        "p50": round(pct(0.50), 2),
-        "p95": round(pct(0.95), 2),
+        "p50": pct(0.50),
+        "p95": pct(0.95),
         "max": round(lat_ms[-1], 2) if lat_ms else None,
         "keyframes_fired": fired,
         "keyframes_per_sec": round(fired / wall, 2),
         "ticks": ticks,
-    }))
+    }
+    if churn_every:
+        rec["churn_periods"] = churn_every
+        rec["churn_every_ticks"] = churn_ticks
+        rec["deadline_ms"] = deadline_ms
+        rec["slo_hit_rate"] = (round(met / slo_checked, 4)
+                               if slo_checked else None)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
-    counts = [int(a) for a in sys.argv[1:]] or [1, 4, 8]
+    args = sys.argv[1:]
+    churn = 0
+    if "--churn" in args:
+        i = args.index("--churn")
+        churn = int(args[i + 1])
+        del args[i:i + 2]
+    counts = [int(a) for a in args] or [1, 4, 8]
     for n in counts:
-        bench(n)
+        bench(n, churn_every=churn)

@@ -1,9 +1,11 @@
 """Worker for the 2-process multi-host simulation test.
 
-Usage: python tests/_mh_worker.py <pid> <port> <tmpdir>
+Usage: python tests/_mh_worker.py <pid> <port> <tmpdir> [epochs] [load]
 Each process owns 4 virtual CPU devices; the global mesh is 8-wide 'data'.
-Runs one epoch of synthetic training + validation through the real runner
-(per-host loader shards, global-batch assembly, gathered evaluation).
+Runs ``epochs`` (default 1) of synthetic training + validation through the
+real runner (per-host loader shards, global-batch assembly, gathered
+evaluation); ``load=1`` resumes from the newest checkpoint under tmpdir
+(the rank-0-broadcast resume path).
 """
 
 import os
@@ -12,6 +14,8 @@ import sys
 
 def main() -> None:
     pid, port, tmpdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    load = len(sys.argv) > 5 and sys.argv[5] == "1"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     import jax
 
@@ -44,9 +48,10 @@ def main() -> None:
     cfg.model.compute_dtype = "float32"
     cfg.model.temporal_ds_strategy = "avg"
     cfg.train.batch_size = 1       # per chip -> global batch 4
-    cfg.train.epoch_num = 1
+    cfg.train.epoch_num = epochs
+    cfg.model.load = load
     cfg.val.batch_size = 1
-    cfg.val.freq = 1
+    cfg.val.freq = 1 if epochs == 1 else 1000   # preempt runs skip validate
     cfg.log.base_path = tmpdir
     cfg.log.display_freq = 1
 
