@@ -162,6 +162,44 @@ def test_bad_requests(server):
     _req("DELETE", f"{base}/v1/streams/{sid}")
 
 
+def test_python_client_round_trip(server):
+    """DetectionClient speaks the same wire API end-to-end: open, raw push,
+    JPEG push, long-poll results, full_scores, close (idempotent)."""
+    from PIL import Image
+
+    from tubelet_transformer_tpu.client import DetectionClient, ServingError
+
+    client = DetectionClient(_base(server))
+    assert client.health()["status"] == "ok"
+    assert client.stats()["max_batch"] == 4
+
+    with client.open_stream(deadline_ms=5000) as stream:
+        frame = _frame(seed=7)
+        for _ in range(16):
+            stream.push(frame)
+        results = stream.results(timeout_s=60)
+        assert results
+        det = results[0]["detections"][0]
+        assert len(det["box"]) == 4 and len(det["top_actions"]) == 5
+        assert results[0]["deadline_met"] is True
+
+        buf = io.BytesIO()
+        Image.fromarray(frame).save(buf, format="JPEG")
+        for _ in range(4):
+            stream.push_jpeg(buf.getvalue())
+        results = stream.results(timeout_s=60, full_scores=True)
+        assert results and len(results[0]["detections"][0]["scores"]) == 5
+
+        with pytest.raises(ValueError):
+            stream.push(np.zeros((4, 4), np.uint8))       # not (H, W, 3)
+    stream.close()                                        # second close: no-op
+
+    # pushing to the closed stream surfaces the server's 404 as ServingError
+    with pytest.raises(ServingError) as ei:
+        stream.push(_frame())
+    assert ei.value.code == 404
+
+
 def test_concurrent_streams_share_batches(server):
     """N clients feed concurrently; every stream gets its keyframes and the
     scheduler batches due streams together (pool semantics, via HTTP)."""

@@ -365,6 +365,29 @@ class StreamingDetectorPool:
         # cadence counters, memory); never held across the device forward
         self._lock = threading.RLock()
 
+    def warmup(self) -> None:
+        """Pre-compile the batched detect for every bucket ``step()`` can
+        emit (powers of two below ``max_batch``, plus ``max_batch``), so the
+        first live keyframe never pays a cold jit against its deadline."""
+        t = self._tpl
+        buckets, b = {self.max_batch}, 1
+        while b < self.max_batch:
+            buckets.add(b)
+            b *= 2
+        l_mem = (t.memory.keyframes * t.memory.slots
+                 if t.memory is not None else 1)
+        for n in sorted(buckets):
+            batch = [
+                np.zeros((n, t.t_len, t.img_size, t.img_size, 3), np.uint8),
+                np.zeros((n, t.img_size, t.img_size), bool),
+                np.zeros((n, l_mem, t.cfg.model.d_model), np.float32),
+                np.ones((n, l_mem), bool),
+            ]
+            if (t._data_sharding is not None and t.mesh is not None
+                    and n % t.mesh.shape.get("data", 1) == 0):
+                batch = [jax.device_put(a, t._data_sharding) for a in batch]
+            jax.block_until_ready(t._detect(t.variables, *batch))
+
     def _stream(self, sid):
         if sid not in self._streams:
             t = self._tpl

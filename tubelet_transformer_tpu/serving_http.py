@@ -100,15 +100,18 @@ class DetectionServer:
 
     ``serve_forever()`` blocks; ``start()``/``stop()`` run it on background
     threads (used by the tests and embedders). The constructor compiles
-    nothing — the first detection triggers the jit, so construction is
-    cheap even for the flagship model.
+    nothing; ``start()``/``serve_forever()`` pre-compile every batch bucket
+    (``warmup=False`` defers that to the first live detection — which then
+    pays the cold jit against its deadline).
     """
 
     def __init__(self, cfg: Config, variables=None, *, host: str = "0.0.0.0",
                  port: int = 8000, max_batch: int = 8,
                  detect_every: Optional[int] = None, fps: float = 30.0,
                  actor_threshold: float = 0.8,
-                 poll_interval_s: float = 0.002, mesh=None):
+                 poll_interval_s: float = 0.002, mesh=None,
+                 warmup: bool = True):
+        self._warmup = warmup
         self.pool = StreamingDetectorPool(
             cfg, variables, max_batch=max_batch, detect_every=detect_every,
             fps=fps, actor_threshold=actor_threshold, mesh=mesh)
@@ -117,6 +120,7 @@ class DetectionServer:
         self._streams: Dict[str, _StreamState] = {}
         self._next_id = 0
         self._stop = threading.Event()
+        self._ready = threading.Event()     # set once warmup completes
         self._sched_thread: Optional[threading.Thread] = None
         self._http_thread: Optional[threading.Thread] = None
         self._started_at = time.time()
@@ -132,14 +136,19 @@ class DetectionServer:
 
     # -- lifecycle ---------------------------------------------------------
 
-    def start(self) -> None:
-        """Start scheduler + HTTP threads; returns immediately."""
+    def start(self, wait_ready: bool = True) -> None:
+        """Start HTTP + scheduler threads. HTTP answers immediately
+        (``/healthz`` reports ``warming`` until the buckets are compiled);
+        ``wait_ready`` blocks until warmup finishes so the first request
+        after return never pays a cold jit."""
         self._sched_thread = threading.Thread(
             target=self._scheduler_loop, name="tuber-scheduler", daemon=True)
         self._sched_thread.start()
         self._http_thread = threading.Thread(
             target=self.httpd.serve_forever, name="tuber-http", daemon=True)
         self._http_thread.start()
+        if wait_ready:
+            self._ready.wait()
 
     def serve_forever(self) -> None:
         self._sched_thread = threading.Thread(
@@ -152,6 +161,7 @@ class DetectionServer:
 
     def stop(self) -> None:
         self._stop.set()
+        self._ready.set()           # unblock any start(wait_ready=True)
         self.httpd.shutdown()
         self.httpd.server_close()
         if self._sched_thread is not None:
@@ -161,7 +171,16 @@ class DetectionServer:
 
     def _scheduler_loop(self) -> None:
         """The single thread that talks to the device: batches all due
-        streams per tick. Handler threads never run the forward."""
+        streams per tick. Handler threads never run the forward. Warmup
+        runs here first — it is device work, and this thread owns the
+        device — so HTTP comes up instantly while the buckets compile."""
+        if self._warmup and not self._stop.is_set():
+            try:
+                self.pool.warmup()
+            except Exception as e:  # first live step will compile instead
+                print(f"scheduler: warmup failed: {type(e).__name__}: {e}",
+                      flush=True)
+        self._ready.set()
         while not self._stop.is_set():
             t0 = time.perf_counter()
             try:
@@ -306,7 +325,8 @@ def _make_handler(server: "DetectionServer"):
                 import jax
 
                 return self._json(200, {
-                    "status": "ok",
+                    "status": ("ok" if server._ready.is_set()
+                               else "warming"),
                     "backend": jax.default_backend(),
                     "devices": jax.device_count(),
                 })
