@@ -82,3 +82,53 @@ def elementwise_giou(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     wh_c = jnp.clip(rb_c - lt_c, 0.0)
     area_c = wh_c[..., 0] * wh_c[..., 1]
     return iou - (area_c - union) / jnp.maximum(area_c, 1e-12)
+
+
+def nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    max_outputs: int,
+    iou_threshold: float = 0.5,
+    score_threshold: float = -jnp.inf,
+) -> jnp.ndarray:
+    """Greedy NMS with static shapes, safe under jit/vmap on TPU.
+
+    On-device counterpart of the host library's ``eval/np_box.py:
+    non_max_suppression`` (reference semantics at
+    ``evaluates/utils/np_box_list_ops.py:161-233``): highest-score-first
+    selection, suppress IoU strictly greater than ``iou_threshold``, drop
+    scores <= ``score_threshold``.
+
+    Args:
+      boxes: (n, 4) xyxy. scores: (n,). valid: (n,) bool padding mask.
+      max_outputs: static number of selection rounds (<= n).
+
+    Returns:
+      (n,) bool keep mask (selected boxes). Selection order is recoverable by
+      sorting kept scores descending. No data-dependent shapes anywhere —
+      a fixed ``max_outputs``-step ``lax.fori_loop`` over a precomputed
+      (n, n) IoU matrix, so XLA compiles one program per (n, max_outputs).
+    """
+    from jax import lax
+
+    n = boxes.shape[0]
+    iou, _ = box_iou(boxes, boxes)
+    alive = valid & (scores > score_threshold)
+    neg_inf = jnp.array(-jnp.inf, scores.dtype)
+
+    def body(_, state):
+        alive, keep = state
+        masked = jnp.where(alive, scores, neg_inf)
+        best = jnp.argmax(masked)
+        any_alive = alive.any()
+        keep = keep.at[best].set(any_alive | keep[best])
+        # the winner leaves the pool; so does everything it overlaps too much
+        suppress = (iou[best] > iou_threshold) | (jnp.arange(n) == best)
+        alive = alive & jnp.where(any_alive, ~suppress, True)
+        return alive, keep
+
+    _, keep = lax.fori_loop(
+        0, min(max_outputs, n), body, (alive, jnp.zeros(n, dtype=bool))
+    )
+    return keep
