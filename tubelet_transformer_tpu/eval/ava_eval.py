@@ -92,6 +92,12 @@ class AVADetectionEvaluator:
         for ev in self._evals:
             ev.add_detections_matrix(image_key, boxes, sel)
 
+    def precision_recall_curves(self, iou_threshold: Optional[float] = None):
+        """Per-class {class_id: (precision, recall, AP)} at one threshold."""
+        t = self.iou_thresholds[0] if iou_threshold is None else iou_threshold
+        ev = self._evals[self.iou_thresholds.index(t)]
+        return ev.precision_recall_curves()
+
     def evaluate(self) -> Tuple[List[float], Dict]:
         maps, result = [], {}
         for t, ev in zip(self.iou_thresholds, self._evals):

@@ -201,14 +201,21 @@ class PascalMAPEvaluator:
             self._mat_tp.append(tp)
         self._pending_mat.clear()
 
-    def evaluate(self) -> Tuple[float, Dict[int, float]]:
-        """Returns (mAP, per-class AP dict). mAP = nanmean over classes."""
+    def precision_recall_curves(
+            self) -> Dict[int, Tuple[np.ndarray, np.ndarray, float]]:
+        """Per-class {class_id: (precision, recall, AP)} over all added data.
+
+        The raw curves behind `evaluate()` — feeds the PR plotting helper
+        (plots.plot_precision_recall), our counterpart of the reference's
+        `util/plot_utils.py:plot_precision_recall` (which reads COCO eval
+        pickles the reference never produces).
+        """
         self._flush_pending()
         mat_s = (np.concatenate(self._mat_scores, axis=0)
                  if self._mat_scores else None)
         mat_t = (np.concatenate(self._mat_tp, axis=0)
                  if self._mat_scores else None)
-        aps: Dict[int, float] = {}
+        curves: Dict[int, Tuple[np.ndarray, np.ndarray, float]] = {}
         for j, c in enumerate(self.class_ids):
             st = self._state[c]
             parts_s = list(st.scores)
@@ -221,7 +228,13 @@ class PascalMAPEvaluator:
             tp = (np.concatenate(parts_t) if parts_t
                   else np.array([], bool))
             p, r = compute_precision_recall(scores, tp, st.num_gt)
-            aps[c] = compute_average_precision(p, r)
+            curves[c] = (p, r, compute_average_precision(p, r))
+        return curves
+
+    def evaluate(self) -> Tuple[float, Dict[int, float]]:
+        """Returns (mAP, per-class AP dict). mAP = nanmean over classes."""
+        aps = {c: ap for c, (_, _, ap)
+               in self.precision_recall_curves().items()}
         vals = np.array(list(aps.values()), float)
         with np.errstate(invalid="ignore"):
             mean_ap = float(np.nanmean(vals)) if vals.size else float("nan")

@@ -117,15 +117,104 @@ def plot_training(path: str, out_path: str = "training_curves.png",
     return out_path
 
 
+def plot_pr_curves(curves, out_path: str, names: Dict = {},
+                   top_k: int = 8, dpi: int = 120) -> str:
+    """Render {class_id: (precision, recall, AP)} curves to a PNG.
+
+    Takes the output of `PascalMAPEvaluator.precision_recall_curves()` /
+    `AVADetectionEvaluator.precision_recall_curves()`; plots the top-k
+    classes by AP plus the running mAP in the title.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    scored = [(c, p, r, ap) for c, (p, r, ap) in curves.items()
+              if not np.isnan(ap)]
+    scored.sort(key=lambda x: -x[3])
+    mean_ap = (float(np.mean([s[3] for s in scored]))
+               if scored else float("nan"))
+
+    fig, ax = plt.subplots(figsize=(6, 5))
+    for i, (c, p, r, ap) in enumerate(scored[:top_k]):
+        label = f"{names.get(c, c)} (AP {ap:.3f})"
+        ax.plot(r, p, color=_PALETTE[i % len(_PALETTE)], linewidth=1.5,
+                label=label)
+    ax.set_xlabel("recall", fontsize=9)
+    ax.set_ylabel("precision", fontsize=9)
+    ax.set_xlim(0, 1.0)
+    ax.set_ylim(0, 1.05)
+    ax.set_title(f"precision-recall (top {min(top_k, len(scored))} classes; "
+                 f"mAP {mean_ap:.4f})", fontsize=10, loc="left")
+    ax.grid(True, linewidth=0.4, alpha=0.3)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    ax.legend(fontsize=7, frameon=False, loc="lower left")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)
+    return out_path
+
+
+def plot_precision_recall(gt_files: Sequence[str],
+                          det_files: Sequence[str],
+                          out_path: str = "pr_curves.png",
+                          label_path: str = "",
+                          class_num: int = 80,
+                          top_k: int = 8,
+                          dpi: int = 120) -> str:
+    """Per-class precision-recall curves from validation txt dumps.
+
+    Counterpart of the reference's `util/plot_utils.py:plot_precision_recall`
+    (models/detr/util/plot_utils.py:68-99, which reads COCO eval pickles the
+    reference pipeline never writes) — ours reads the per-rank `GT_*.txt` /
+    `*.txt` dumps that `validate_ava` actually produces.
+    """
+    from tubelet_transformer_tpu.eval.ava_eval import AVADetectionEvaluator
+
+    ev = AVADetectionEvaluator(label_path=label_path or None,
+                               class_num=class_num)
+    ev.load_gt_from_files(list(gt_files))
+    ev.load_detections_from_files(list(det_files))
+    names = {}
+    if label_path:
+        from tubelet_transformer_tpu.eval.labelmap import read_labelmap
+        cats, _ = read_labelmap(label_path)
+        names = {c["id"]: c["name"] for c in cats}
+    return plot_pr_curves(ev.precision_recall_curves(), out_path,
+                          names=names, top_k=top_k, dpi=dpi)
+
+
 def main() -> None:
     import argparse
 
     p = argparse.ArgumentParser(description="Plot TubeR-TPU training curves")
-    p.add_argument("path", help="metrics.jsonl or experiment directory")
-    p.add_argument("-o", "--out", default="training_curves.png")
+    p.add_argument("path", nargs="?", default=None,
+                   help="metrics.jsonl or experiment directory")
+    p.add_argument("-o", "--out", default=None)
     p.add_argument("--tags", nargs="*", default=[])
+    p.add_argument("--pr-gt", nargs="*", default=[],
+                   help="GT txt dumps (GT_*.txt) for a PR-curve plot")
+    p.add_argument("--pr-det", nargs="*", default=[],
+                   help="detection txt dumps (*.txt) for a PR-curve plot")
+    p.add_argument("--labelmap", default="", help="pbtxt labelmap for names")
+    p.add_argument("--class-num", type=int, default=80)
     args = p.parse_args()
-    out = plot_training(args.path, args.out, tags=args.tags)
+    if args.pr_gt or args.pr_det:
+        if not (args.pr_gt and args.pr_det):
+            p.error("--pr-gt and --pr-det must be given together")
+        out = plot_precision_recall(args.pr_gt, args.pr_det,
+                                    args.out or "pr_curves.png",
+                                    label_path=args.labelmap,
+                                    class_num=args.class_num)
+    elif args.path:
+        out = plot_training(args.path, args.out or "training_curves.png",
+                            tags=args.tags)
+    else:
+        p.error("give a metrics path, or --pr-gt/--pr-det dump files")
+        return
     print(f"wrote {out}")
 
 

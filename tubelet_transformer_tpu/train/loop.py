@@ -216,6 +216,14 @@ def validate_ava(cfg: Config, eval_step, state, loader, mesh, epoch: int,
         if dump_dir is not None:
             os.makedirs(dump_dir, exist_ok=True)
             dump_detections_txt(os.path.join(dump_dir, "0.txt"), dump_rows)
+            try:
+                # PR-curve panel next to the dumps (plots.py counterpart of
+                # the reference's util/plot_utils.py:plot_precision_recall)
+                from tubelet_transformer_tpu.plots import plot_pr_curves
+                plot_pr_curves(evaluator.precision_recall_curves(),
+                               os.path.join(dump_dir, f"pr_epoch_{epoch}.png"))
+            except Exception as exc:  # plotting must never fail validation
+                print(f"PR plot skipped: {exc}")
         maps, _ = evaluator.evaluate()
         person_ap = person_eval.evaluate()
         result["mAP"] = maps[0]
