@@ -14,9 +14,7 @@ test-all:
 # Driver-style checks, runnable by hand.
 .PHONY: dryrun bench
 dryrun:
-	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "\
-	import jax; jax.config.update('jax_platforms','cpu'); \
-	from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+	python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
 
 bench:
 	python bench.py

@@ -21,8 +21,9 @@ def main(batch_size: int = 2, backbone: str = "CSN-152",
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tubelet_transformer_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     from tubelet_transformer_tpu.config import Config
     from tubelet_transformer_tpu.data.loader import collate
@@ -65,13 +66,18 @@ def main(batch_size: int = 2, backbone: str = "CSN-152",
         best = min(best, (time.perf_counter() - t0) / n)
     import json
 
-    print(json.dumps({
+    rec = {
         "metric": f"train_step_ms_{backbone.lower().replace('-', '')}"
                   + ("_tunepoint4" if pretrained else "_full"),
         "value": round(best * 1e3, 1), "unit": "ms/step",
         "clips_per_sec_chip": round(batch_size / best, 2),
         "batch_size": batch_size,
-    }))
+    }
+    from bench import roofline_fields
+
+    rec.update(roofline_fields(train_step, (state, db, key, lw),
+                               best, batch_size))
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -4,6 +4,7 @@ produces detections; frozen params stay frozen."""
 
 import jax
 import jax.numpy as jnp
+import optax
 import numpy as np
 
 from tubelet_transformer_tpu.config import Config
@@ -503,3 +504,59 @@ def test_opt_state_sharding_follows_param_paths(rng):
     assert bbox.sharding.spec == P(), bbox.sharding
     # both are (64, 64): the shape-keyed matcher could not tell them apart
     assert out_proj.shape == bbox.shape
+
+
+def test_zero1_matches_replicated_and_shards_moments(rng):
+    """ZeRO-1 (SURVEY §2.8's last strategy row): Adam moments sharded over
+    'data' must (a) produce bit-identical losses over two steps vs the
+    replicated optimizer, (b) actually cut per-device moment memory, and
+    (c) keep the output state layout pinned (no sharding drift between
+    steps, which would trigger a recompile every step)."""
+    from tubelet_transformer_tpu.parallel.sharding_rules import (
+        shard_train_state,
+        state_shardings,
+    )
+
+    cfg = _tiny_cfg()
+    model = build_model(cfg)
+    batch = _fake_batch(rng, cfg, 8)
+    mesh = mesh_lib.create_mesh(data=8, model=1)
+    db = mesh_lib.shard_batch(batch, mesh)
+
+    def moment_bytes_on_device0(state):
+        total = 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                state.opt_state)[0]:
+            s = "/".join(str(getattr(p, "key", p)) for p in path)
+            if ".mu" in s or ".nu" in s:
+                shard = [sh for sh in leaf.addressable_shards
+                         if sh.device == jax.devices()[0]]
+                total += sum(int(np.prod(sh.data.shape)) * leaf.dtype.itemsize
+                             for sh in shard)
+        return total
+
+    losses, mem, pnorm = {}, {}, {}
+    for name, zero1 in {"repl": False, "zero1": True}.items():
+        state, tx, _ = engine.create_train_state(
+            cfg, model, jax.random.PRNGKey(0), batch, 10)
+        state = shard_train_state(state, mesh, zero1=zero1)
+        mem[name] = moment_bytes_on_device0(state)
+        out_sh = state_shardings(state, mesh, zero1=zero1)
+        train_step = engine.make_train_step(cfg, model, tx,
+                                            state_out_shardings=out_sh)
+        ls = []
+        for i in range(2):
+            state, metrics = train_step(state, db, jax.random.PRNGKey(1),
+                                        jnp.float32(12.0))
+            ls.append(float(metrics["total_loss"]))
+        losses[name] = ls
+        pnorm[name] = float(optax.global_norm(jax.device_get(state.params)))
+        # layout stayed pinned: moments still sharded after the steps
+        assert moment_bytes_on_device0(state) == mem[name]
+
+    # pinning output shardings repartitions the loss reduction, so sums
+    # reassociate: equality holds to float32 reduction noise, not bitwise
+    np.testing.assert_allclose(losses["zero1"], losses["repl"], rtol=1e-5)
+    np.testing.assert_allclose(pnorm["zero1"], pnorm["repl"], rtol=1e-5)
+    # most moment bytes live on channel-divisible axes: expect a big cut
+    assert mem["zero1"] < 0.5 * mem["repl"], mem

@@ -224,14 +224,21 @@ def _run_training_body(cfg: Config, preempted) -> None:
             start_epoch += 1
             print(f"resumed from {latest} at epoch {start_epoch}")
 
-    if cfg.mesh.model > 1 or cfg.mesh.pipe > 1:
+    state_out_sh = None
+    if cfg.mesh.model > 1 or cfg.mesh.pipe > 1 or cfg.mesh.zero1:
         from tubelet_transformer_tpu.parallel.sharding_rules import (
             shard_train_state,
+            state_shardings,
         )
 
-        state = shard_train_state(state, mesh)
+        state = shard_train_state(state, mesh, zero1=cfg.mesh.zero1)
+        if cfg.mesh.zero1:
+            # pin the output layout: keeps the Adam-moment update
+            # shard-local over 'data' (one all-gather for the param delta)
+            state_out_sh = state_shardings(state, mesh, zero1=True)
 
-    train_step = engine.make_train_step(cfg, model, tx)
+    train_step = engine.make_train_step(cfg, model, tx,
+                                        state_out_shardings=state_out_sh)
     eval_step = engine.make_eval_step(cfg, model)
     rng = jax.random.PRNGKey(cfg.train.seed + 7)
 

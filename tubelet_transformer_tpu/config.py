@@ -242,6 +242,11 @@ class MeshConfig:
     # with no reference analog (SURVEY §5.7) — lets one clip span chips
     # when activations (268 MB/clip at layer1) exceed a single chip.
     spatial: bool = False
+    # ZeRO stage 1: shard Adam moments over 'data' (largest divisible
+    # axis); the moment update stays shard-local, one all-gather returns
+    # the param delta. Cuts optimizer memory ~(1 - 1/n_data) x 2/3 of
+    # the fp32 train-state bytes. SURVEY §2.8 strategy table, last row.
+    zero1: bool = False
 
 
 @dataclass

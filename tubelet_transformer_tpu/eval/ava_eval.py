@@ -111,9 +111,16 @@ class AVADetectionEvaluator:
     # -- txt-file API (reference dump format, debugging / cross-testing) ----
 
     def load_gt_from_files(self, paths: Sequence[str]) -> None:
+        # buffer rows per image first: add_ground_truth accepts ONE call
+        # per image key (duplicate adds are deduped away, matching the
+        # reference evaluator's one-shot GT semantics), so feeding txt rows
+        # one at a time would silently drop every GT after an image's first
+        buf: Dict[str, List] = {}
         for key, vals in _parse_txt(paths, self.exclude_keys):
-            boxes = np.asarray(vals[2:6], float)[None]
-            scores = np.asarray(vals[6:], float)[None]
+            buf.setdefault(key, []).append(vals)
+        for key, rows in buf.items():
+            boxes = np.asarray([r[2:6] for r in rows], float)
+            scores = np.asarray([r[6:] for r in rows], float)
             self.add_ground_truth(key, boxes, scores)
 
     def load_detections_from_files(self, paths: Sequence[str]) -> None:

@@ -65,15 +65,23 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def shard_train_state(state, mesh: Mesh):
-    """Place a TrainState on the mesh: params/opt_state per the TP rules
-    (optimizer moments mirror the param layout), batch_stats replicated."""
+def state_shardings(state, mesh: Mesh, zero1: bool = False):
+    """NamedSharding pytree mirroring a TrainState: params/opt_state per the
+    TP rules (optimizer moments mirror the param layout), batch_stats and
+    step replicated.
+
+    With ``zero1`` (ZeRO stage 1, the last SURVEY §2.8 strategy-table row),
+    Adam moments of *replicated* params additionally shard their leading
+    axis over 'data' where divisible: each data shard owns 1/n_data of
+    mu/nu and updates it locally (grads arrive replicated after the data
+    all-reduce, so the moment update needs no collective); only the param
+    delta is gathered back to replicated — the classic ZeRO-1 all-gather,
+    emitted by GSPMD when the output params are pinned replicated
+    (engine.make_train_step's out_shardings). TP-sharded params keep their
+    moments in the param layout (already distributed over 'model')."""
     p_shard = param_shardings(state.params, mesh)
     repl = NamedSharding(mesh, P())
-
-    params = jax.tree.map(jax.device_put, state.params, p_shard)
-    batch_stats = jax.tree.map(lambda x: jax.device_put(x, repl),
-                               state.batch_stats)
+    n_data = mesh.shape.get("data", 1)
 
     # Optimizer state: Adam mu/nu embed copies of the params pytree, so a
     # moment leaf's path ends with its param's path — match on that (plus
@@ -87,15 +95,34 @@ def shard_train_state(state, mesh: Mesh):
     for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
         shape_by_path["/" + _path_str(path)] = getattr(leaf, "shape", ())
 
-    def place_opt(path, x):
+    def opt_rule(path, x):
         ps = "/" + _path_str(path)
         for param_path, sh in shard_by_path.items():
             if ps.endswith(param_path) \
                     and getattr(x, "shape", ()) == shape_by_path[param_path]:
-                return jax.device_put(x, sh)
-        return jax.device_put(x, repl)
+                shape = shape_by_path[param_path]
+                if zero1 and n_data > 1 and sh.spec == P() and shape:
+                    # shard the largest divisible axis (conv kernels lead
+                    # with size-1/3 spatial dims; their channel axes are
+                    # the ones that divide)
+                    axes = sorted(range(len(shape)), key=lambda i: -shape[i])
+                    for i in axes:
+                        if shape[i] % n_data == 0:
+                            spec = [None] * len(shape)
+                            spec[i] = "data"
+                            return NamedSharding(mesh, P(*spec))
+                return sh
+        return repl
 
-    opt_state = jax.tree_util.tree_map_with_path(place_opt, state.opt_state)
-    return state.replace(params=params, batch_stats=batch_stats,
-                         opt_state=opt_state,
-                         step=jax.device_put(state.step, repl))
+    return state.replace(
+        step=repl,
+        params=p_shard,
+        batch_stats=jax.tree.map(lambda _: repl, state.batch_stats),
+        opt_state=jax.tree_util.tree_map_with_path(opt_rule, state.opt_state),
+    )
+
+
+def shard_train_state(state, mesh: Mesh, zero1: bool = False):
+    """Place a TrainState on the mesh per ``state_shardings``."""
+    return jax.tree.map(jax.device_put, state,
+                        state_shardings(state, mesh, zero1=zero1))

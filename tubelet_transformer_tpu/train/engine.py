@@ -114,8 +114,15 @@ def weighted_total(cfg: Config, loss_dict, loss_ce_weight):
     return total
 
 
-def make_train_step(cfg: Config, model, tx):
+def make_train_step(cfg: Config, model, tx, state_out_shardings=None):
     """Build the jitted train step: (state, batch, rng, loss_ce_w) -> ...
+
+    ``state_out_shardings`` (a TrainState pytree of NamedShardings, from
+    parallel.sharding_rules.state_shardings) pins the output state layout.
+    Required under ZeRO-1: it keeps the Adam-moment updates shard-local
+    over 'data' and makes GSPMD emit exactly one all-gather for the param
+    delta; without a pin, sharding propagation would either gather the
+    moments (defeating ZeRO) or shard the params (recompiling every step).
 
     With TRAIN.ACCUM_STEPS > 1 the batch is split into microbatches inside
     the step (lax.scan): gradients average and losses are the microbatch
@@ -214,15 +221,15 @@ def make_train_step(cfg: Config, model, tx):
         # must cover the WHOLE state: keeping params but committing Adam
         # moments/BN stats updated with NaN grads would turn the next
         # (finite) step's update into NaN and kill the run anyway.
+        # lax.cond, not a tree of jnp.where: a where over params + moments +
+        # BN reads BOTH operand trees (~2.2 GB extra HBM traffic per CSN-152
+        # step); TPU cond executes only the taken branch, and both branches
+        # are pass-throughs XLA can alias.
         finite = jnp.isfinite(total)
-
-        def keep_if_finite(new, old):
-            return jax.tree.map(
-                lambda n, o: jnp.where(finite, n, o), new, old)
-
-        new_params = keep_if_finite(new_params, state.params)
-        new_opt = keep_if_finite(new_opt, state.opt_state)
-        new_bs = keep_if_finite(new_bs, state.batch_stats)
+        new_params, new_opt, new_bs = jax.lax.cond(
+            finite,
+            lambda: (new_params, new_opt, new_bs),
+            lambda: (state.params, state.opt_state, state.batch_stats))
 
         metrics = dict(loss_dict)
         metrics["total_loss"] = total
@@ -233,7 +240,10 @@ def make_train_step(cfg: Config, model, tx):
                                   batch_stats=new_bs, opt_state=new_opt)
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if state_out_shardings is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step, donate_argnums=(0,),
+                   out_shardings=(state_out_shardings, None))
 
 
 def make_eval_step(cfg: Config, model):

@@ -12,14 +12,43 @@ import time
 from typing import Dict
 
 
-def enable_compile_cache(path: str = "") -> None:
+def machine_fingerprint() -> str:
+    """Short hash of the host CPU's ISA surface. CPU-backend cache entries
+    are AOT-compiled machine code: loading an entry built on a wider-ISA
+    machine SIGILLs (observed as cpu_aot_loader feature-mismatch warnings
+    when a cache travels in the repo), so cache dirs are keyed by this."""
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    ident += line
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+
+
+def enable_compile_cache(path: str = "", per_machine: bool = False) -> None:
     """Turn on JAX's persistent compilation cache (CLI entry points call
     this): repeat runs skip the minutes-long remote-TPU compiles. Honors
-    JAX_COMPILATION_CACHE_DIR; defaults to a user cache dir."""
+    JAX_COMPILATION_CACHE_DIR; defaults to the in-repo .jax_cache (kept
+    warm across driver rounds, gitignored).
+
+    ``per_machine`` keys the dir by host-ISA fingerprint — required for the
+    CPU backend (virtual-mesh dryruns), whose cache entries are AOT host
+    machine code: loading one compiled on a wider-ISA machine SIGILLs.
+    TPU entries are target-keyed by JAX itself and shared across hosts."""
     import jax
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-            or os.path.expanduser("~/.cache/tuber_tpu_jax"))
+            or os.path.join(repo_root, ".jax_cache"))
+    if per_machine:
+        path = os.path.join(path, machine_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
