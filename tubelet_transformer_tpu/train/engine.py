@@ -213,7 +213,6 @@ def make_train_step(cfg: Config, model, tx, state_out_shardings=None):
             loss_dict = {k: v * inv for k, v in loss_dict.items()}
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
 
         # NaN guard (reference exits on non-finite loss,
         # video_action_recognition.py:195-198): skip the update instead and
@@ -221,15 +220,22 @@ def make_train_step(cfg: Config, model, tx, state_out_shardings=None):
         # must cover the WHOLE state: keeping params but committing Adam
         # moments/BN stats updated with NaN grads would turn the next
         # (finite) step's update into NaN and kill the run anyway.
-        # lax.cond, not a tree of jnp.where: a where over params + moments +
-        # BN reads BOTH operand trees (~2.2 GB extra HBM traffic per CSN-152
-        # step); TPU cond executes only the taken branch, and both branches
-        # are pass-throughs XLA can alias.
+        # Mechanism: scalar selects at the UPDATE level, applied before
+        # apply_updates. Each select's "new" operand is elementwise-computed
+        # from its "old" operand inside the same fusion, so XLA folds the
+        # select in with no extra HBM traffic. (A lax.cond over the state
+        # was measured at 6.5 ms/step on v5e: TPU conditionals cannot alias
+        # buffers across branches, so the taken branch *copies* the whole
+        # params+moments+BN tuple. A post-hoc jnp.where over the param trees
+        # reads both operand trees — same problem, ~2.2 GB extra.)
         finite = jnp.isfinite(total)
-        new_params, new_opt, new_bs = jax.lax.cond(
-            finite,
-            lambda: (new_params, new_opt, new_bs),
-            lambda: (state.params, state.opt_state, state.batch_stats))
+        new_opt = jax.tree.map(lambda n, o: jnp.where(finite, n, o),
+                               new_opt, state.opt_state)
+        updates = jax.tree.map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
+        new_params = optax.apply_updates(state.params, updates)
+        new_bs = jax.tree.map(lambda n, o: jnp.where(finite, n, o),
+                              new_bs, state.batch_stats)
 
         metrics = dict(loss_dict)
         metrics["total_loss"] = total
