@@ -75,8 +75,15 @@ def main(batch_size: int = 2, backbone: str = "CSN-152",
     }
     from bench import roofline_fields
 
-    rec.update(roofline_fields(train_step, (state, db, key, lw),
-                               best, batch_size))
+    # the train step donates its state: the trace run must re-thread it
+    holder = {"state": state}
+
+    def run_iter():
+        holder["state"], m = train_step(holder["state"], db, key, lw)
+        return m
+
+    rec.update(roofline_fields(train_step, (holder["state"], db, key, lw),
+                               best, batch_size, run_iter=run_iter))
     print(json.dumps(rec))
 
 

@@ -59,15 +59,20 @@ def device_op_times(logdir: str):
                if e.get("ph") == "M" and e.get("name") == "thread_name"
                and e.get("args", {}).get("name", "").startswith("XLA Ops")}
     times: dict[str, float] = {}
+    bytes_: dict[str, float] = {}
     meta: dict[str, dict] = {}
     for e in events:
         if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_keys:
             continue
         name = e.get("name", "")
         times[name] = times.get(name, 0.0) + float(e.get("dur", 0.0))
-        if name not in meta and e.get("args"):
-            meta[name] = e["args"]
+        args = e.get("args") or {}
+        bytes_[name] = (bytes_.get(name, 0.0)
+                        + float(args.get("bytes_accessed", 0) or 0))
+        if name not in meta and args:
+            meta[name] = args
     device_op_times.meta = meta  # exemplar args per op, for the --dump file
+    device_op_times.bytes = bytes_  # profiler per-op HBM byte estimates
     if not times:
         raise RuntimeError("no 'XLA Ops' thread found in trace "
                            f"(threads present: "
@@ -88,6 +93,52 @@ GROUPS = [
     ("reduce", r"^reduce"),
     ("fusions (elementwise/other)", r"^fusion|^loop_"),
 ]
+
+
+STAGES = [
+    # (label, regex over "tf_op||source") — first match wins
+    ("stem (pallas kernels)", r"ops/pallas/stem\.py|backbone/pallas_call"),
+    ("layer1", r"backbone/layer1_"),
+    ("layer2", r"backbone/layer2_"),
+    ("layer3", r"backbone/layer3_"),
+    ("layer4", r"backbone/layer4_"),
+    ("backbone glue (pad/pool/posenc)", r"backbone|_temporal_pool"),
+    ("matcher (JV while)", r"ops/matcher\.py|_solve_rect"),
+    ("optimizer (adam/clip/wd)", r"optax|engine\.py"),
+    ("transformer + heads", r"encoder|decoder|TubeR|transformer|embed|"
+                            r"class_|bbox_|input_proj|posenc"),
+]
+
+
+def stage_table(times: dict, iters: int):
+    """Per-model-stage device time + profiler-attributed HBM bytes."""
+    meta = getattr(device_op_times, "meta", {})
+    byts = {n: b / iters for n, b in
+            getattr(device_op_times, "bytes", {}).items()}
+    rows = {label: [0.0, 0.0, 0] for label, _ in STAGES}
+    rows["other"] = [0.0, 0.0, 0]
+    for n, t in times.items():
+        m = meta.get(n, {})
+        key = (m.get("tf_op", "") or "") + "||" + (m.get("source", "") or "")
+        for label, pat in STAGES:
+            if re.search(pat, key):
+                break
+        else:
+            label = "other"
+        rows[label][0] += t
+        rows[label][1] += byts.get(n, 0.0)
+        rows[label][2] += 1
+    t_tot = sum(r[0] for r in rows.values())
+    b_tot = sum(r[1] for r in rows.values())
+    print(f"{'stage':<34}{'ms':>8}{'GB':>8}{'GB/s':>8}{'#ops':>6}")
+    for label, (us, b, n) in sorted(rows.items(), key=lambda kv: -kv[1][0]):
+        if n == 0:
+            continue
+        gbps = b / (us / 1e6) / 1e9 if us else 0.0
+        print(f"{label:<34}{us / 1e3:>8.2f}{b / 1e9:>8.2f}{gbps:>8.0f}{n:>6}")
+    print(f"{'TOTAL':<34}{t_tot / 1e3:>8.2f}{b_tot / 1e9:>8.2f}"
+          f"{b_tot / (t_tot / 1e6) / 1e9 if t_tot else 0:>8.0f}")
+    return t_tot, b_tot
 
 
 def group_table(times: dict, top_ops: int = 18):
@@ -198,6 +249,10 @@ def main(argv):
           f"(avg over {iters} steps) ==")
     total = group_table(times)
     print(f"\nper-clip: {total / 1e3 / bs:.3f} ms")
+    print(f"\n== per-stage floor table ({mode} bs={bs}) ==")
+    # times were normalized per-iteration above; bytes still need /iters
+    t_tot, b_tot = stage_table(times, iters)
+    print(f"per-clip bytes (profiler-attributed): {b_tot / bs / 1e9:.2f} GB")
     if dump:
         meta = getattr(device_op_times, "meta", {})
         with open(dump, "w") as f:
