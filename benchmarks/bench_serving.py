@@ -62,6 +62,7 @@ def bench(n_streams: int, ticks: int = 40, fps: float = 30.0,
 
     pool = StreamingDetectorPool(cfg, max_batch=max(
         1 << (n_streams - 1).bit_length(), 1), fps=fps)
+    pool.warmup()   # pre-compile every padded bucket (serving startup path)
     rng = np.random.default_rng(0)
     h, w = 480, 640
     frame = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)

@@ -41,6 +41,8 @@ SLOW_MODULES = {
     "test_pallas_bottleneck",
     "test_pallas_depthwise",
     "test_lfb_learning",
+    # real CSN-50 at IMG 128/T=16 over a 4-device mesh (~minutes on CPU)
+    "test_flagship_shapes",
 }
 
 

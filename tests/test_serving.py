@@ -146,6 +146,34 @@ def test_pool_deadline_scheduling():
     assert pool._due() == []                  # everything served
 
 
+def test_pool_priority_classes_override_deadlines():
+    """set_priority partitions scheduling into strict tiers: a priority-1
+    stream is admitted before ANY priority-0 stream (even one with a tight
+    SLO); within a tier the deadline-monotonic order still applies."""
+    from tubelet_transformer_tpu.serving import StreamingDetectorPool
+
+    cfg = _cfg()
+    pool = StreamingDetectorPool(cfg, fps=8.0, detect_every=8, max_batch=2)
+    pool.set_deadline("tight0", 1_000.0)      # priority 0, tight SLO
+    pool.set_priority("vip", 1)               # priority 1, best-effort
+    pool.set_priority("vip_loose", 1)
+    pool.set_deadline("vip_loose", 60_000.0)  # priority 1, loose SLO
+
+    for f in _frames(16, seed=4):
+        for sid in ("tight0", "vip", "vip_loose"):
+            pool.push_frame(sid, f)
+
+    # tier 1 first (vip_loose has a deadline so it precedes best-effort
+    # vip inside its tier), tier 0 last regardless of its tight SLO
+    assert pool._due() == ["vip_loose", "vip", "tight0"]
+
+    out = pool.step(max_chunks=1)            # one forward of max_batch=2
+    assert set(out) == {"vip_loose", "vip"}
+    out2 = pool.step(max_chunks=1)
+    assert set(out2) == {"tight0"}
+    assert pool._due() == []
+
+
 def test_tp_serving_matches_single_device():
     """Multi-chip serving: params sharded over the 'model' mesh axis must
     reproduce the replicated detector's outputs (single stream and pool)."""

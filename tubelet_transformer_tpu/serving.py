@@ -400,6 +400,7 @@ class StreamingDetectorPool:
             s._scale = 1.0
             s._deadline_ms = None
             s._due_at = None
+            s._priority = 0
             s.memory = (_Memory(self._mk[1], self._mk[0],
                                 t.cfg.model.d_model)
                         if t.memory is not None else None)
@@ -423,6 +424,17 @@ class StreamingDetectorPool:
         with self._lock:
             self._stream(sid)._deadline_ms = deadline_ms
 
+    def set_priority(self, sid, priority: int) -> None:
+        """Priority class for one stream (default 0; higher = served
+        first). Scheduling order is (priority class desc, deadline slack
+        asc): priority partitions streams into strict tiers, and within a
+        tier the deadline-monotonic rule applies — so a priority-1 stream
+        is admitted before ANY priority-0 stream, even one about to miss
+        its SLO. Use priorities for product tiers (paying camera vs
+        best-effort) and deadlines for latency targets within a tier."""
+        with self._lock:
+            self._stream(sid)._priority = int(priority)
+
     def push_frame(self, sid, frame: np.ndarray) -> None:
         """Feed one frame of one stream (no detection yet; see step())."""
         with self._lock:
@@ -436,7 +448,8 @@ class StreamingDetectorPool:
                 s._due_at = time.perf_counter()
 
     def _due(self):
-        """Due streams, tightest remaining deadline slack first."""
+        """Due streams: highest priority class first, then tightest
+        remaining deadline slack (see set_priority / set_deadline)."""
         now = time.perf_counter()
         out = []
         for sid, s in self._streams.items():
@@ -447,9 +460,9 @@ class StreamingDetectorPool:
                 waited = (now - s._due_at) * 1e3 \
                     if getattr(s, "_due_at", None) is not None else 0.0
                 slack = float("inf") if dl is None else dl - waited
-                out.append((slack, sid))
-        out.sort(key=lambda p: p[0])
-        return [sid for _, sid in out]
+                out.append((-getattr(s, "_priority", 0), slack, sid))
+        out.sort(key=lambda p: p[:2])
+        return [sid for _, _, sid in out]
 
     def step(self, max_chunks: Optional[int] = None) -> Dict:
         """Run padded batched detections over the due streams, tightest
