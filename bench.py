@@ -181,7 +181,7 @@ def main():
         train_metric()
 
 
-def train_metric(bs: int = 8, budget_s: int = 560):
+def train_metric(bs: int = 8, budget_s: int = 900):
     """Second JSON line: CSN-152 train-step throughput, the reference
     fine-tune recipe (pretrained backbone, tune_point=4, bs=8 — the
     measured per-chip optimum).  No published train-throughput baseline
@@ -191,18 +191,33 @@ def train_metric(bs: int = 8, budget_s: int = 560):
 
     Runs as a bounded subprocess: a cold compile of the bs=8 train graph
     over the remote-TPU relay can take >10 min, and the train line is
-    additive — it must never stall the driver's bench. Once the persistent
-    compile cache is warm the run takes seconds."""
+    additive — it must never stall the driver's bench. Measured budget
+    anatomy (1-core host + axon relay): tracing ~150 s, XLA compile ~140 s
+    (skipped on a persistent-cache hit), 55 MB executable load + weight
+    upload + first exec ~150 s, measurement + roofline trace ~60 s — i.e.
+    even a WARM run costs ~460-520 s, so the budget must exceed that, not
+    just the measurement. On a timeout we retry once: a cold first attempt
+    writes the cache entry before its first step executes, so the retry
+    runs the warm path."""
     import subprocess
 
-    try:
-        import os
+    import os
 
-        script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "benchmarks", "bench_train.py")
-        out = subprocess.run(
-            [sys.executable, script, str(bs), "finetune-only"],
-            capture_output=True, text=True, timeout=budget_s)
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "bench_train.py")
+    try:
+        for attempt in (1, 2):
+            try:
+                out = subprocess.run(
+                    [sys.executable, script, str(bs), "finetune-only"],
+                    capture_output=True, text=True, timeout=budget_s)
+                break
+            except subprocess.TimeoutExpired:
+                if attempt == 2:
+                    raise
+                print("# train metric attempt 1 timed out "
+                      f"({budget_s}s); retrying on the now-warm cache",
+                      file=sys.stderr)
         line = [l for l in out.stdout.strip().splitlines()
                 if l.startswith("{")][-1]
         rec = json.loads(line)
