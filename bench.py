@@ -59,13 +59,38 @@ def roofline_fields(jitted, args, per_iter_s, bs, run_iter=None, iters=3):
 
     out = {}
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        compiled = jitted.lower(*args).compile()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         out["gflops_per_clip"] = round(float(ca.get("flops", 0.0))
                                        / bs / 1e9, 1)
     except Exception as e:
+        compiled = None
         print(f"# cost analysis unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    try:
+        # Two-sided roofline (round-3 VERDICT #6): alongside the per-op
+        # attribution UPPER bound, emit a defensible LOWER bound on HBM
+        # traffic from XLA's buffer assignment: every argument byte is read
+        # from HBM at least once (all args here — params + clip — are live),
+        # every output byte written once, and every byte of the peak
+        # temp-buffer set is both written and read (an HBM temp exists only
+        # because a consumer reads it back).  Real traffic lies in
+        # [lower, apparent]; both brackets are emitted.
+        ma = compiled.memory_analysis() if compiled is not None else None
+        if ma is not None:
+            lb_bytes = (int(ma.argument_size_in_bytes)
+                        + int(ma.output_size_in_bytes)
+                        + 2 * int(ma.temp_size_in_bytes))
+            lb_gbps = lb_bytes / per_iter_s / 1e9
+            out.update({
+                "bytes_per_clip_lower_bound": int(lb_bytes / bs),
+                "gbps_lower_bound": round(lb_gbps, 1),
+                "pct_hbm_peak_lb": round(100.0 * lb_gbps / HBM_PEAK_GBPS, 1),
+            })
+    except Exception as e:
+        print(f"# memory analysis unavailable: {type(e).__name__}: {e}",
               file=sys.stderr)
     try:
         from benchmarks.profile_step import device_op_times
@@ -130,32 +155,64 @@ def main():
 
         return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
-    def timed(bs, k, reps=3):
+    def timed_stats(bs, k_lo, k_hi, reps=9):
+        """Per-iteration time via K-loop differencing (header note), hardened
+        per round-3 VERDICT #1: the old best-of-3 over a 10-iteration diff
+        (~83 ms signal vs ~30 ms relay-RTT jitter) flapped +-20% round to
+        round.  Now: a 40-iteration diff (~330 ms signal), >=9 reps with the
+        lo/hi runs interleaved per rep (pairs them against clock/thermal
+        drift), and the MEDIAN reported. ``spread_pct`` is IQR-based (a
+        single relay-RTT spike in one rep's lo-run must not brand a stable
+        build noisy — measured: 7/9 reps within 1%, one spike = 8% range);
+        the full range still ships as ``range_pct``."""
         clips = jax.device_put(np.random.default_rng(0).normal(
             0, 1, (bs, t_len, img, img, 3)).astype(np.float32))
-        float(forward_loop(variables, clips, k))  # compile + warm
-        best = float("inf")
+        float(forward_loop(variables, clips, k_lo))  # compile + warm
+        float(forward_loop(variables, clips, k_hi))
+        diffs = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(forward_loop(variables, clips, k))  # fetch forces completion
-            best = min(best, time.perf_counter() - t0)
-        return best
+            float(forward_loop(variables, clips, k_lo))  # fetch = completion
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(forward_loop(variables, clips, k_hi))
+            t_hi = time.perf_counter() - t0
+            diffs.append(max((t_hi - t_lo) / (k_hi - k_lo), 1e-9))
+        diffs.sort()
+        med = diffs[len(diffs) // 2]
+        iqr = diffs[(3 * len(diffs)) // 4] - diffs[len(diffs) // 4]
+        spread_pct = 100.0 * iqr / med
+        range_pct = 100.0 * (diffs[-1] - diffs[0]) / med
+        print(f"# bs={bs} per-iter ms across {reps} reps: "
+              + ", ".join(f"{d * 1e3:.2f}" for d in diffs)
+              + f" (median {med * 1e3:.2f}, IQR spread {spread_pct:.1f}%, "
+              f"range {range_pct:.1f}%)", file=sys.stderr)
+        return med, diffs[0], spread_pct, range_pct
 
-    k_lo, k_hi = (2, 12) if on_tpu else (1, 3)
+    k_lo, k_hi = (2, 42) if on_tpu else (1, 3)
     best_cps, best_bs = 0.0, 1
-    # bs=2 is the measured optimum on v5e with the fused Pallas stem
-    # (247.6 vs 209@4, 225@8 clips/s); a single batch size keeps the bench
-    # to two compiles (~4 min cold, seconds warm via the persistent cache).
-    for bs in ([2] if on_tpu else [1]):
+    stats = {}
+    # bs=2 is the measured optimum on v5e with the fused Pallas stem;
+    # a single batch size keeps the bench to two compiles (~4 min cold,
+    # seconds warm via the persistent cache). `--sweep 2,4,8` re-measures
+    # the batch-scaling curve with this hardened method (VERDICT r3 #4).
+    bss = [2] if on_tpu else [1]
+    if "--sweep" in sys.argv:
+        bss = [int(b) for b in
+               sys.argv[sys.argv.index("--sweep") + 1].split(",")]
+    for bs in bss:
         try:
-            t_lo = timed(bs, k_lo)
-            t_hi = timed(bs, k_hi)
-            per_iter = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
-            cps = bs / per_iter
-            print(f"# bs={bs}: {cps:.2f} clips/s ({per_iter * 1e3:.2f} ms/clip-batch)",
-                  file=sys.stderr)
+            med, best, spread_pct, range_pct = timed_stats(bs, k_lo, k_hi)
+            cps = bs / med
+            if spread_pct > 5.0:
+                print(f"# WARNING: bs={bs} IQR spread {spread_pct:.1f}% > 5%"
+                      " — treat this run's median as noisy", file=sys.stderr)
             if cps > best_cps:
                 best_cps, best_bs = cps, bs
+                stats = {"best_clips_per_sec": round(bs / best, 3),
+                         "median_clips_per_sec": round(cps, 3),
+                         "spread_pct": round(spread_pct, 2),
+                         "range_pct": round(range_pct, 2)}
         except Exception as e:
             print(f"# bs={bs} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -169,6 +226,7 @@ def main():
         "unit": "clips/s",
         "vs_baseline": round(best_cps / 600.0, 4),
         "batch_size": best_bs,
+        **stats,
     }
     if on_tpu and best_cps > 0:
         fwd = jax.jit(lambda v, c: model.apply(v, c, train=False))
@@ -177,7 +235,7 @@ def main():
         rec.update(roofline_fields(fwd, (variables, clips),
                                    best_bs / best_cps, best_bs))
     print(json.dumps(rec), flush=True)
-    if on_tpu:
+    if on_tpu and "--infer-only" not in sys.argv:
         train_metric()
 
 
