@@ -52,7 +52,10 @@ def main(b=2, t=32, hw=64, c=64):
                     x0, (carry[None, None, None, None, None]
                          ).astype(dtype), (0, 0, 0, 0, 0))
                 out = fn(xp)
-                return jnp.sum(out[0, 0, 0, 0].astype(jnp.float32))
+                # sum the FULL output: a single-element readout lets XLA
+                # slice back through the conv and dead-code-eliminate the
+                # work (measured: "-0.01 ms/call" for the xla3d variant)
+                return jnp.sum(out.astype(jnp.float32))
 
             return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 

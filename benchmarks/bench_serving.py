@@ -26,8 +26,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _calibrate_rtt(reps: int = 9) -> float:
+    """Median ms of a minimal device round trip (dispatch + fetch of a
+    scalar): the relay-link floor every fetch in the pool step pays."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.float32(0.0)
+    jax.device_get(f(x))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(f(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2] * 1e3
+
+
 def bench(n_streams: int, ticks: int = 40, fps: float = 30.0,
-          churn_every: int = 0):
+          churn_every: int = 0, instrument: bool = False,
+          infer_chunk: int = 0):
     import json
 
     import jax
@@ -41,6 +60,7 @@ def bench(n_streams: int, ticks: int = 40, fps: float = 30.0,
     on_tpu = jax.default_backend() == "tpu"
     cfg = Config()
     cfg.data.num_classes = 80
+    cfg.model.infer_chunk = infer_chunk  # --chunk N: no batch tax (BASELINE)
     if on_tpu:
         cfg.model.backbone_name = "CSN-152"
         cfg.data.img_size = 256
@@ -61,7 +81,8 @@ def bench(n_streams: int, ticks: int = 40, fps: float = 30.0,
         cfg.model.compute_dtype = "float32"
 
     pool = StreamingDetectorPool(cfg, max_batch=max(
-        1 << (n_streams - 1).bit_length(), 1), fps=fps)
+        1 << (n_streams - 1).bit_length(), 1), fps=fps,
+        instrument=instrument)
     pool.warmup()   # pre-compile every padded bucket (serving startup path)
     rng = np.random.default_rng(0)
     h, w = 480, 640
@@ -98,6 +119,8 @@ def bench(n_streams: int, ticks: int = 40, fps: float = 30.0,
     fired = 0
     met = 0
     slo_checked = 0
+    timings = []
+    waits = []
     t_start = time.perf_counter()
     for tick in range(ticks):
         if churn_ticks and tick and tick % churn_ticks == 0:
@@ -112,7 +135,9 @@ def bench(n_streams: int, ticks: int = 40, fps: float = 30.0,
         if res:
             lat.append(time.perf_counter() - t0)
             fired += len(res)
+            timings.extend(pool.last_timing)
             for r in res.values():
+                waits.append(r.waited_ms)
                 if r.deadline_met is not None:
                     slo_checked += 1
                     met += bool(r.deadline_met)
@@ -142,6 +167,32 @@ def bench(n_streams: int, ticks: int = 40, fps: float = 30.0,
                                if slo_checked else None)
     print(json.dumps(rec))
 
+    if instrument and timings:
+        # Latency decomposition (round-3 VERDICT #10): where a pool step's
+        # milliseconds actually go. exec_fetch includes ONE relay RTT (the
+        # result fetch); upload includes one more (the fence fetch) — both
+        # are reported against the calibrated RTT floor so the relay tax
+        # separates from device/compute time.
+        rtt = _calibrate_rtt()
+        med = lambda k: sorted(t[k] for t in timings)[len(timings) // 2]
+        waits.sort()
+        print(json.dumps({
+            "metric": "serving_pool_step_decomposition_ms",
+            "streams": n_streams,
+            "chunks_measured": len(timings),
+            "assemble_ms_p50": med("assemble_ms"),
+            "upload_ms_p50": med("upload_ms"),
+            "exec_fetch_ms_p50": med("exec_fetch_ms"),
+            "rtt_ms_p50": round(rtt, 2),
+            "queue_wait_ms_p50": (round(waits[len(waits) // 2], 2)
+                                  if waits else None),
+            "queue_wait_ms_p95": (round(waits[int(0.95 * len(waits))], 2)
+                                  if waits else None),
+            "note": "upload and exec_fetch each include one relay RTT; "
+                    "local-chip projection = assemble + (upload-rtt) + "
+                    "(exec_fetch-rtt) with near-zero rtt",
+        }))
+
 
 if __name__ == "__main__":
     args = sys.argv[1:]
@@ -150,6 +201,15 @@ if __name__ == "__main__":
         i = args.index("--churn")
         churn = int(args[i + 1])
         del args[i:i + 2]
+    instrument = "--instrument" in args
+    if instrument:
+        args.remove("--instrument")
+    chunk = 0
+    if "--chunk" in args:
+        i = args.index("--chunk")
+        chunk = int(args[i + 1])
+        del args[i:i + 2]
     counts = [int(a) for a in args] or [1, 4, 8]
     for n in counts:
-        bench(n, churn_every=churn)
+        bench(n, churn_every=churn, instrument=instrument,
+              infer_chunk=chunk)

@@ -560,3 +560,41 @@ def test_zero1_matches_replicated_and_shards_moments(rng):
     np.testing.assert_allclose(pnorm["zero1"], pnorm["repl"], rtol=1e-5)
     # most moment bytes live on channel-divisible axes: expect a big cut
     assert mem["zero1"] < 0.5 * mem["repl"], mem
+
+
+def test_eval_step_infer_chunk_matches_unchunked(rng):
+    """MODEL.INFER_CHUNK runs the eval batch as lax.map over fixed-size
+    chunks (BASELINE.md "Batch scaling": the conv emitter's small-batch
+    kernels are faster per clip). Results must be bit-compatible with the
+    unchunked step: same postprocessed scores/boxes/binary, loss scalars
+    equal to the mean over equal-sized chunks."""
+    cfg = _tiny_cfg()
+    model = build_model(cfg)
+    batch = _fake_batch(rng, cfg, 8)
+
+    state, _, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=10)
+
+    out_plain = engine.make_eval_step(cfg, model)(state, batch)
+    cfg.model.infer_chunk = 2
+    out_ck = engine.make_eval_step(cfg, model)(state, batch)
+
+    for k in ("scores", "boxes", "binary"):
+        np.testing.assert_allclose(np.asarray(out_ck[k]),
+                                   np.asarray(out_plain[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+    # logged losses are chunk-averaged: each chunk normalizes by ITS box
+    # count / weighted query count, exactly the reference's per-GPU DDP
+    # loss-averaging semantics (criterion normalizes per shard; DDP
+    # averages shards). Ballpark, not equal, when chunks carry different
+    # box counts (measured ~10% on this 4-chunk fixture).
+    for k, v in out_plain["losses"].items():
+        np.testing.assert_allclose(float(out_ck["losses"][k]), float(v),
+                                   rtol=0.25, atol=1e-6, err_msg=k)
+
+    # odd leftover (batch not divisible by chunk) falls back to unchunked
+    cfg.model.infer_chunk = 3
+    out_odd = engine.make_eval_step(cfg, model)(state, batch)
+    np.testing.assert_allclose(np.asarray(out_odd["scores"]),
+                               np.asarray(out_plain["scores"]),
+                               rtol=1e-5, atol=1e-5)

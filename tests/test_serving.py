@@ -333,3 +333,36 @@ def test_pool_concurrent_push_and_step():
             th.join()
     assert not errors, errors
     assert n_results >= 6
+
+
+def test_pool_infer_chunk_matches_unchunked():
+    """MODEL.INFER_CHUNK in the pool's batched detect (lax.map over bs=2
+    chunks) must not change any detection."""
+    from tubelet_transformer_tpu.serving import StreamingDetectorPool
+
+    cfg = _cfg()
+    base = StreamingDetectorPool(cfg, fps=8.0, detect_every=8, max_batch=4)
+    cfg2 = _cfg()
+    cfg2.model.infer_chunk = 2
+    chunked = StreamingDetectorPool(cfg2, base._tpl.variables, fps=8.0,
+                                    detect_every=8, max_batch=4)
+
+    frames = {s: _frames(24, seed=10 + s) for s in range(4)}
+    outs, outs_ck = [], []
+    for i in range(24):
+        for s in range(4):
+            base.push_frame(s, frames[s][i])
+            chunked.push_frame(s, frames[s][i])
+        outs.append(base.step())
+        outs_ck.append(chunked.step())
+
+    fired = 0
+    for o, oc in zip(outs, outs_ck):
+        assert set(o) == set(oc)
+        for sid in o:
+            fired += 1
+            assert len(o[sid].detections) == len(oc[sid].detections)
+            for d, dc in zip(o[sid].detections, oc[sid].detections):
+                np.testing.assert_allclose(dc.box, d.box, atol=1e-3)
+                np.testing.assert_allclose(dc.scores, d.scores, atol=1e-4)
+    assert fired > 0, "no keyframes fired"

@@ -90,6 +90,10 @@ class DataConfig:
     max_boxes: int = 32
     # Sample count of the synthetic smoke dataset (tests / dry runs).
     synthetic_size: int = 64
+    # Easy detection variant of the synthetic task (one fixed-size box,
+    # left-or-right): quickly learnable end-to-end, used by the e2e
+    # detection-quality gate (tests/test_e2e.py overfit test).
+    synthetic_easy: bool = False
     # Static canvas override (0 = auto: (img_size, img_size*16/9) rounded).
     # The reference feeds variable aspect-preserving shapes; we pad to one
     # canvas for XLA. Set both to img_size for square-crop training.
@@ -127,6 +131,13 @@ class ModelConfig:
     query_num: int = 15
     normalize_before: bool = False
     dropout: float = 0.1
+    # Batched inference as lax.map over fixed-size chunks (0 = off).
+    # Measured on v5e (CSN-152 flagship, BASELINE.md "Batch scaling"): the
+    # conv emitter's layer1/2 fusions are 2.5-3.3x slower at bs>=4 than at
+    # bs=2, so running a batch-8 forward as four scanned bs=2 chunks is
+    # 12-15% faster per clip (217.8 -> 243.7 clips/s). Throughput knob for
+    # batched serving/eval; leaves latency of the single chunk unchanged.
+    infer_chunk: int = 0
     ds_rate: int = 8
     temp_len: int = 32
     sample_rate: int = 2

@@ -35,21 +35,36 @@ class SyntheticAVADataset:
         m, c = cfg.data.max_boxes, cfg.data.num_classes
 
         clip = rng.normal(0, 0.3, (t, ch, cw, 3)).astype(np.float32)
-        n = int(rng.integers(1, min(m, 4) + 1))
+        easy = getattr(cfg.data, "synthetic_easy", False)
+        n = 1 if easy else int(rng.integers(1, min(m, 4) + 1))
         boxes = np.zeros((m, 4), np.float32)
         labels = np.zeros((m, c), np.float32)
         valid = np.zeros((m,), bool)
         for i in range(n):
-            cx, cy = rng.uniform(0.25, 0.75, 2)
-            w, h = rng.uniform(0.15, 0.3, 2)
+            if easy:
+                # DATA.SYNTHETIC_EASY: one fixed-size box on the left or
+                # right half — localization is a binary, quickly learnable
+                # decision, so the e2e overfit test can bind the full
+                # optimizer->matcher->criterion->postprocess->evaluator
+                # stack to a non-trivial mAP within a slow-tier budget
+                cx, cy = (0.3 if rng.random() < 0.5 else 0.7), 0.5
+                w, h = 0.4, 0.4
+            else:
+                cx, cy = rng.uniform(0.25, 0.75, 2)
+                w, h = rng.uniform(0.15, 0.3, 2)
             boxes[i] = [cx, cy, w, h]
             cls = int(rng.integers(0, c))
             labels[i, cls] = 1.0
             valid[i] = True
-            # paint a blob so the task is learnable
+            # paint a blob so the task is learnable: box location from
+            # brightness, action class color-coded into the channel
+            # (cls % 3) so classification has a real signal too (the e2e
+            # overfit test asserts a non-trivial mAP, which needs per-class
+            # ranking above chance — brightness alone can't give that)
             x0, x1 = int((cx - w / 2) * cw), int((cx + w / 2) * cw)
             y0, y1 = int((cy - h / 2) * ch), int((cy + h / 2) * ch)
-            clip[:, max(y0, 0):y1, max(x0, 0):x1] += 1.0 + 0.1 * cls
+            clip[:, max(y0, 0):y1, max(x0, 0):x1] += 0.6
+            clip[:, max(y0, 0):y1, max(x0, 0):x1, cls % 3] += 1.2
 
         return {
             "clips": clip,

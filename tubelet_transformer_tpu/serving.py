@@ -202,6 +202,27 @@ class StreamingDetector:
     # -- device step ------------------------------------------------------
 
     def _detect_fn(self, variables, clip_u8, pad_mask, lfb_feats, lfb_mask):
+        # MODEL.INFER_CHUNK: run the padded bucket as lax.map over
+        # fixed-size chunks — the conv emitter's bs=2 kernels are 12-15%
+        # faster per clip than its bs>=4 kernels (BASELINE.md "Batch
+        # scaling"), so big serving buckets pay no batch tax. Skipped when
+        # the batch is sharded over a 'data' mesh axis (chunking would
+        # serialize what the mesh parallelizes).
+        ck = self.cfg.model.infer_chunk
+        b = clip_u8.shape[0]
+        data_axis = (self.mesh.shape.get("data", 1)
+                     if self.mesh is not None else 1)
+        if ck and b > ck and b % ck == 0 and data_axis == 1:
+            args = (clip_u8, pad_mask, lfb_feats, lfb_mask)
+            outs = jax.lax.map(
+                lambda a: self._detect_core(variables, *a),
+                tuple(x.reshape(b // ck, ck, *x.shape[1:]) for x in args))
+            return tuple(o.reshape(b, *o.shape[2:]) for o in outs)
+        return self._detect_core(variables, clip_u8, pad_mask, lfb_feats,
+                                 lfb_mask)
+
+    def _detect_core(self, variables, clip_u8, pad_mask, lfb_feats,
+                     lfb_mask):
         clips = device_preprocess(clip_u8, dtype=jnp.float32,
                                   pad_mask=pad_mask)
         kw = {}
@@ -350,8 +371,14 @@ class StreamingDetectorPool:
                  detect_every: Optional[int] = None, fps: float = 30.0,
                  memory_keyframes: int = 10, memory_slots: int = 5,
                  actor_threshold: float = 0.8, rng_seed: int = 0,
-                 mesh=None):
+                 mesh=None, instrument: bool = False):
         self.max_batch = max_batch
+        # instrument=True decomposes each step's latency into host-assemble /
+        # upload / execute+fetch (one extra tiny fetch per chunk to fence the
+        # upload — measurement only, keep off in production). Per-chunk dicts
+        # land in ``self.last_timing`` after every step().
+        self.instrument = instrument
+        self.last_timing: List[Dict] = []
         # template detector owns the model/variables and the prep logic
         self._tpl = StreamingDetector(
             cfg, variables, detect_every=detect_every, fps=fps,
@@ -470,6 +497,7 @@ class StreamingDetectorPool:
         (overflow streams stay due and lead the next step)."""
         with self._lock:
             due = self._due()
+        self.last_timing = []
         if not due:
             return {}
         if max_chunks is not None:
@@ -519,14 +547,33 @@ class StreamingDetectorPool:
             t0 = time.perf_counter()
             batch = [np.stack(clips), np.stack(pads),
                      np.stack(mems), np.stack(mmasks)]
+            t_assemble = time.perf_counter() - t0
+            t_up = 0.0
             if (t._data_sharding is not None and t.mesh is not None
                     and bucket % t.mesh.shape.get("data", 1) == 0):
                 # split the padded bucket over the 'data' axis so every
                 # chip works a slice (TP chips still cooperate per slice)
                 batch = [jax.device_put(a, t._data_sharding) for a in batch]
+            if self.instrument:
+                # fence the host->device transfer so upload and execute
+                # separate: a 1-element fetch that depends on the clip
+                # tensor cannot return before the upload lands (the relay
+                # never blocks on block_until_ready, only on a fetch)
+                t1 = time.perf_counter()
+                batch = [jax.device_put(a) if isinstance(a, np.ndarray)
+                         else a for a in batch]
+                jax.device_get(batch[0].ravel()[0])
+                t_up = time.perf_counter() - t1
+            t2 = time.perf_counter()
             scores, boxes, binary, feats = jax.device_get(t._detect(
                 t.variables, *batch))
             lat = (time.perf_counter() - t0) * 1e3
+            self.last_timing.append({
+                "bucket": bucket, "streams": n,
+                "assemble_ms": round(t_assemble * 1e3, 2),
+                "upload_ms": round(t_up * 1e3, 2),
+                "exec_fetch_ms": round((time.perf_counter() - t2) * 1e3, 2),
+            })
             now = time.perf_counter()
             with self._lock:
                 for i, (sid, frame_count, scale, src_hw, sd0, due_at, dl,

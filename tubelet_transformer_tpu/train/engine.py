@@ -255,11 +255,20 @@ def make_train_step(cfg: Config, model, tx, state_out_shardings=None):
 def make_eval_step(cfg: Config, model):
     """Jitted eval step: forward + on-device postprocess, plus criterion
     losses for logging unless VAL.COMPUTE_LOSSES is off (mAP needs only
-    the postprocess; skipping losses roughly halves the step)."""
+    the postprocess; skipping losses roughly halves the step).
+
+    MODEL.INFER_CHUNK > 0 runs the batch as lax.map over fixed-size chunks
+    (postprocess + losses inside the chunk): the conv emitter's
+    small-batch kernels are 12-15% faster per clip on v5e (BASELINE.md
+    "Batch scaling"). Detection outputs are bit-equal to the unchunked
+    step; logged loss scalars are chunk-averaged — each chunk normalizes
+    by its own box count, the reference's per-GPU DDP loss-averaging
+    semantics. Leave 0 when the batch axis is sharded over a 'data' mesh
+    axis (chunking would serialize what the mesh parallelizes)."""
     postprocess = (postprocess_ava if is_ava_mode(cfg)
                    else postprocess_softmax)
 
-    def eval_step(state: TrainState, batch):
+    def eval_body(state: TrainState, batch):
         outputs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             device_preprocess(batch["clips"],
@@ -276,6 +285,25 @@ def make_eval_step(cfg: Config, model):
         scores, boxes, binary = postprocess(outputs, batch["sizes"])
         return {"scores": scores, "boxes": boxes, "binary": binary,
                 "losses": loss_dict}
+
+    def eval_step(state: TrainState, batch):
+        ck = cfg.model.infer_chunk
+        b = batch["clips"].shape[0]
+        if not ck or b <= ck or b % ck:
+            return eval_body(state, batch)
+        chunked = {k: jnp.reshape(jnp.asarray(v),
+                                  (b // ck, ck) + jnp.asarray(v).shape[1:])
+                   for k, v in batch.items()}
+        out = jax.lax.map(lambda mb: eval_body(state, mb), chunked)
+        return {
+            "scores": jnp.reshape(out["scores"],
+                                  (b,) + out["scores"].shape[2:]),
+            "boxes": jnp.reshape(out["boxes"],
+                                 (b,) + out["boxes"].shape[2:]),
+            "binary": jnp.reshape(out["binary"],
+                                  (b,) + out["binary"].shape[2:]),
+            "losses": jax.tree.map(lambda x: jnp.mean(x, 0), out["losses"]),
+        }
 
     return jax.jit(eval_step)
 
