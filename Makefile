@@ -12,9 +12,14 @@ test-all:
 	python -m pytest tests -q
 
 # Driver-style checks, runnable by hand.
-.PHONY: dryrun bench
+.PHONY: dryrun dryrun-soak bench
 dryrun:
 	python -c "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+
+# 5 consecutive dryrun runs; tallies clean vs needed-retry vs failed
+# (record the JSON line in ROADMAP each round)
+dryrun-soak:
+	python scripts/dryrun_soak.py 5
 
 bench:
 	python bench.py

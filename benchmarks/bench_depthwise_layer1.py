@@ -28,10 +28,22 @@ def main(b=2, t=32, hw=64, c=64):
     w = jnp.asarray(np.random.default_rng(1).normal(0, 0.1, (3, 3, 3, c)),
                     jnp.float32).astype(dtype)
 
+    def bfold(x_):
+        # Depthwise conv is independent per channel AND per batch item, so
+        # two batch items stacked along channels (with the filter tiled 2x)
+        # compute the identical result while filling the 128-lane registers
+        # that C=64 leaves half-empty (round-4 layer1 attack).
+        bb = x_.shape[0]
+        x2 = jnp.concatenate([x_[: bb // 2], x_[bb // 2:]], axis=-1)
+        y2 = dw._dw_lax(x2, jnp.tile(w, (1, 1, 1, 2)))
+        return jnp.concatenate([y2[..., :c], y2[..., c:]], axis=0)
+
     impls = {
         "xla3d": lambda x_: dw._dw_lax(x_, w),
         "tfold": lambda x_: dw._dw_tfold(x_, w),
     }
+    if b % 2 == 0 and c < 128:
+        impls["bfold"] = bfold
     if jax.default_backend() == "tpu" and os.environ.get("BENCH_PALLAS"):
         # t_blk=2: the default t_blk=4 VMEM-OOMs at layer1 scale (W*C=4096)
         impls["pallas_v2"] = lambda x_: dw._dw_pallas_v2(x_, w, t_blk=2)

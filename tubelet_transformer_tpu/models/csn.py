@@ -33,7 +33,8 @@ from tubelet_transformer_tpu.ops.pallas.depthwise import depthwise_conv3x3x3
 from tubelet_transformer_tpu.ops.pallas.stage import (
     bottleneck_chain, chain_supported, max_chain)
 from tubelet_transformer_tpu.ops.pallas.stem import (
-    stem_conv_bn_relu, stem_forward, stem_supported, stem_train_supported)
+    stem_from_xd, stem_conv_bn_relu, stem_forward, stem_prep,
+    stem_supported, stem_train_supported)
 
 BN_EPS = 1e-3       # reference ir_CSN_152.py:15
 BN_MOMENTUM = 0.9   # flax momentum = 1 - torch momentum (torch bn_mmt = 0.1)
@@ -283,16 +284,26 @@ class CSN(nn.Module):
             # bs=2, train-step trace). The stem is frozen whenever any
             # stop_grad boundary exists (stop_grad_stage >= 0 freezes the
             # stem and everything up to that stage), so the kernels' VJPs
-            # never run.
-            wk = conv1.kernel.astype(self.dtype)
-            y_cm = stem_conv_bn_relu(
-                x, wk, jnp.ones((64,), jnp.float32),
-                jnp.zeros((64,), jnp.float32), False)
+            # never run — which also makes it safe to share ONE K1 input
+            # prep (stem_prep) between the two passes instead of padding/
+            # deinterleaving the ~100 MB input twice (round-4 train-step
+            # copy attack, BASELINE.md "train step" table). stop_gradient
+            # on EVERY kernel input (not just the stage output): the
+            # vjp-less pallas_calls would fail JVP tracing for any input
+            # carrying a tangent.
+            wk = jax.lax.stop_gradient(conv1.kernel.astype(self.dtype))
+            xd = jax.lax.stop_gradient(stem_prep(x))
+            y_cm = stem_from_xd(xd, x.shape, x.dtype, wk,
+                                 jnp.ones((64,), jnp.float32),
+                                 jnp.zeros((64,), jnp.float32), relu=False)
             yf = y_cm.astype(jnp.float32)
             mean = jnp.mean(yf, axis=(0, 1, 3, 4))
             var = jnp.mean(jnp.square(yf), axis=(0, 1, 3, 4)) - mean ** 2
             mul, shift = bn1.batch_affine(mean, var)
-            x = stem_forward(x, wk, mul, shift)
+            x = stem_from_xd(xd, x.shape, x.dtype, wk,
+                              jax.lax.stop_gradient(mul),
+                              jax.lax.stop_gradient(shift),
+                              relu=True, pool=True)
         else:
             x = nn.relu(bn1(conv1(x), train=train))
             x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),

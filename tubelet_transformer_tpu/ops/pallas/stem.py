@@ -385,7 +385,16 @@ def _stem_matmul(xd, a_mat, bi, relu, hp, wp, out_dtype, pool=False):
     return out.reshape(b, t, 64, hp, wp)
 
 
-def _stem_pallas(x, w, scale, bias, relu=True, pool=False):
+def stem_prep(x):
+    """K1 input prep shared by both stem passes: SAME-pad, lane-merge the
+    (W, 3) axes, parity-split (deinterleave). Returns the (B, T, H+8, 6*LB)
+    deinterleaved view consumed by ``stem_from_xd``.
+
+    The two-phase frozen-stem train path (csn.py) runs the stem matmul
+    TWICE on the same input (bare conv for batch stats, then fused
+    conv+affine+ReLU+pool); sharing this prep saves one full pad + reshape
+    + K1 pass over the ~100 MB padded input per train step (measured
+    ~1.1 ms of the bs=8 step as copy/reshape + K1 time)."""
     b, t, h, wd, _ = x.shape
     hp, wp = h // 2, wd // 2                  # output H', W'
     w2 = wp + 3
@@ -396,8 +405,15 @@ def _stem_pallas(x, w, scale, bias, relu=True, pool=False):
     # dynamic slices, silently shifting data — the TPU reads dead padding)
     xp = jnp.pad(x, [(0, 0), (0, 0), (3, 5), (3, 3), (0, 0)])
     xr = xp.reshape(b, t, h + 8, (wd + 6) * 3).astype(jnp.bfloat16)
-    xd = _deinterleave(xr, w2)
+    return _deinterleave(xr, w2)
 
+
+def stem_from_xd(xd, x_shape, out_dtype, w, scale, bias, relu=True,
+                  pool=False):
+    """K2 on a prepped input: fold scale/bias into the weight matrix and
+    run the stem matmul kernel."""
+    _, _, h, wd, _ = x_shape
+    hp, wp = h // 2, wd // 2
     sc = jnp.tile(scale.astype(jnp.float32), 2)
     if pool:
         a_mat = _weight_matrix_v3(w.astype(jnp.float32))
@@ -409,7 +425,12 @@ def _stem_pallas(x, w, scale, bias, relu=True, pool=False):
     if pool:
         bi = bi.reshape(1, 128)
     return _stem_matmul(xd, a_mat, bi.astype(jnp.bfloat16), relu,
-                        hp, wp, x.dtype, pool=pool)
+                        hp, wp, out_dtype, pool=pool)
+
+
+def _stem_pallas(x, w, scale, bias, relu=True, pool=False):
+    return stem_from_xd(stem_prep(x), x.shape, x.dtype, w, scale, bias,
+                         relu=relu, pool=pool)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
