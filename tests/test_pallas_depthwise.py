@@ -36,3 +36,16 @@ def test_dispatch_fallback_off_tpu(rng):
     # strided path
     out_s = depthwise_conv3x3x3(x, w, stride=(2, 2, 2))
     assert out_s.shape == (1, 1, 2, 2, 8)
+
+
+def test_bfold_exact(rng):
+    """Batch-fold (two batch items stacked along channels) is algebraically
+    identical to the plain depthwise conv — pure data movement plus the
+    same per-channel taps."""
+    from tubelet_transformer_tpu.ops.pallas.depthwise import _dw_bfold
+
+    x = jnp.asarray(rng.normal(0, 1, (2, 4, 6, 6, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 1, (3, 3, 3, 8)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(_dw_bfold(x, w)),
+                               np.asarray(_dw_lax(x, w)),
+                               rtol=1e-6, atol=1e-6)

@@ -129,6 +129,25 @@ def test_train_two_phase_stem_matches_xla():
     assert rel < 1e-2, rel
 
 
+def test_stem_batch_stats_matches_xla():
+    """In-kernel phase-1 statistics (f32 accumulator, conv output never
+    materialized) must match the XLA composite's batch mean/var."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (2, 4, 64, 256, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, .05, (3, 7, 7, 3, 64)), jnp.float32)
+    ones = jnp.ones((64,), jnp.float32)
+    zeros = jnp.zeros((64,), jnp.float32)
+
+    mean, var = S.stem_batch_stats(S.stem_prep(x), x.shape, w)
+
+    y_ref = S._stem_xla(x, w, ones, zeros, relu=False).astype(jnp.float32)
+    mean_r = jnp.mean(y_ref, axis=(0, 1, 3, 4))
+    var_r = jnp.mean(jnp.square(y_ref), axis=(0, 1, 3, 4)) - mean_r ** 2
+    assert float(jnp.abs(mean - mean_r).max()) < 1e-3
+    assert float(jnp.abs(var - var_r).max()) < 5e-3
+    assert float(var.min()) > 0
+
+
 def test_train_two_phase_dispatch(monkeypatch):
     """The frozen-stem train path must dispatch (and update batch stats)
     exactly when stem_train_supported holds and stop_grad_stage == 0."""

@@ -33,7 +33,7 @@ from tubelet_transformer_tpu.ops.pallas.depthwise import depthwise_conv3x3x3
 from tubelet_transformer_tpu.ops.pallas.stage import (
     bottleneck_chain, chain_supported, max_chain)
 from tubelet_transformer_tpu.ops.pallas.stem import (
-    stem_from_xd, stem_conv_bn_relu, stem_forward, stem_prep,
+    stem_batch_stats, stem_from_xd, stem_forward, stem_prep,
     stem_supported, stem_train_supported)
 
 BN_EPS = 1e-3       # reference ir_CSN_152.py:15
@@ -276,10 +276,11 @@ class CSN(nn.Module):
         elif (self.stem_kernel and train and self.stop_grad_stage >= 0
               and stem_train_supported(x.shape)):
             # Train with the reference fine-tune recipe (frozen stem,
-            # tune_point): two-phase fused stem. Phase 1 computes the bare
-            # conv (channels-mid) for the batch statistics; phase 2 reruns
-            # the fused conv+affine+ReLU+pool with the batch-stat BN folded
-            # in. 2x conv compute, but the kernel conv is cheap next to
+            # tune_point): two-phase fused stem. Phase 1 accumulates the
+            # batch statistics of the bare conv inside the kernel (the
+            # conv output never touches HBM); phase 2 reruns the fused
+            # conv+affine+ReLU+pool with the batch-stat BN folded in.
+            # 2x conv compute, but the kernel conv is cheap next to
             # XLA's C_in=3 conv + reduce_window chain (7.5 -> ~3.5 ms at
             # bs=2, train-step trace). The stem is frozen whenever any
             # stop_grad boundary exists (stop_grad_stage >= 0 freezes the
@@ -293,12 +294,12 @@ class CSN(nn.Module):
             # carrying a tangent.
             wk = jax.lax.stop_gradient(conv1.kernel.astype(self.dtype))
             xd = jax.lax.stop_gradient(stem_prep(x))
-            y_cm = stem_from_xd(xd, x.shape, x.dtype, wk,
-                                 jnp.ones((64,), jnp.float32),
-                                 jnp.zeros((64,), jnp.float32), relu=False)
-            yf = y_cm.astype(jnp.float32)
-            mean = jnp.mean(yf, axis=(0, 1, 3, 4))
-            var = jnp.mean(jnp.square(yf), axis=(0, 1, 3, 4)) - mean ** 2
+            # phase 1: batch statistics from the in-kernel f32 accumulator
+            # (the bare conv output — 537 MB at bs=8 — is never written to
+            # or re-read from HBM; round-4 train-step attack)
+            mean, var = stem_batch_stats(xd, x.shape, wk)
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
             mul, shift = bn1.batch_affine(mean, var)
             x = stem_from_xd(xd, x.shape, x.dtype, wk,
                               jax.lax.stop_gradient(mul),

@@ -145,6 +145,27 @@ def _bwd(res, g):
 depthwise_conv3d.defvjp(_fwd, _bwd)
 
 
+def _dw_bfold(x, w):
+    """Two batch items stacked along channels: depthwise conv is
+    independent per channel AND per batch item, so stacking b=2 into the
+    lane axis (filter tiled 2x) computes the identical result while
+    filling the 128-lane registers that C=64 leaves half-empty.  Exact
+    (pure data movement + the same per-channel taps).
+
+    MEASURED DEAD END — not dispatched.  Isolated (v5e, layer1 scale,
+    benchmarks/bench_depthwise_layer1.py) it wins at b=2 (0.699 vs
+    1.227 ms, -43%) and loses at b=8 (7.5 vs 2.2 ms, lane concats
+    dominate).  In the full forward graph the b=2 win INVERTS too:
+    bench.py dropped 245.5 -> 182.7 clips/s (bytes/clip 3.55 -> 4.88 GB)
+    because the concats materialize as graph-level relayouts that also
+    break the producer/consumer fusions around the conv — the same
+    failure mode as the other repack dead ends in BASELINE.md."""
+    b, c = x.shape[0], x.shape[-1]
+    x2 = jnp.concatenate([x[: b // 2], x[b // 2:]], axis=-1)
+    y2 = _dw_lax(x2, jnp.tile(w, (1, 1, 1, 2)))
+    return jnp.concatenate([y2[..., :c], y2[..., c:]], axis=0)
+
+
 def depthwise_conv3x3x3(x, w, stride=(1, 1, 1), use_pallas: bool = True):
     """Dispatch: Pallas kernel on TPU for stride-1 / C < 128 (where XLA's
     grouped-conv lowering underutilizes the lane dim); XLA otherwise."""

@@ -385,6 +385,137 @@ def _stem_matmul(xd, a_mat, bi, relu, hp, wp, out_dtype, pool=False):
     return out.reshape(b, t, 64, hp, wp)
 
 
+def _stem_stats_matmul(xd, a_mat, hp, wp):
+    """K2-stats: per-row partial (sum, sum-of-squares) of the bare stem
+    conv output, accumulated in-kernel — the conv result never leaves the
+    f32 accumulator, so the (B, T, 64, H'*W') tensor (537 MB at bs=8) is
+    never materialized and never re-read for the reduction.
+
+    Returns f32 (2, 128, 128): ``[0]`` partial sums, ``[1]`` partial
+    sums-of-squares; rows are (frame-parity, channel) = f*64+o like the
+    non-pool output, lanes are 128-column partials of the H'*W' pixel
+    axis. The single output block (constant index map) stays resident in
+    VMEM across the whole sequential grid — the standard Pallas revisited-
+    block accumulation pattern."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, t, ht, _ = xd.shape
+    nh = hp // HB
+    wb = 128
+    npix = HB * wb
+    cdt = jnp.bfloat16
+    assert nh % 2 == 0, (hp, HB)
+    assert wp == wb, "stats path requires full-lane rows (W' == 128)"
+
+    def kernel(x0, x1, x2, x3, a_ref, o_ref, p0, p1):
+        bq = pl.program_id(0)
+        tp = pl.program_id(1)
+        ntp = pl.num_programs(1)
+        refs = (x0, x1, x2, x3)
+        pbufs = (p0, p1)
+
+        @pl.when((bq == 0) & (tp == 0))
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        def build(i, pbuf):
+            # same P assembly as the non-pool matmul path
+            for q in range(4):
+                for jw in range(4):
+                    for cidx in range(6):
+                        base = q * 192 + jw * 48 + cidx * 8
+                        for hq in range(HB // 4):
+                            val = refs[q][
+                                0, 0,
+                                pl.ds(2 * HB * i + 8 * hq, 16),
+                                pl.ds(cidx * LB + jw, wb)]
+                            for hl in range(4):
+                                hh = 4 * hq + hl
+                                pbuf[pl.ds(base, 8),
+                                     pl.ds(hh * wb, wb)] = val[
+                                         2 * hl:2 * hl + 8]
+
+            @pl.when(tp == 0)
+            def _():
+                pbuf[0:192, :] = jnp.zeros((192, npix), cdt)
+
+            @pl.when(tp == ntp - 1)
+            def _():
+                pbuf[576:768, :] = jnp.zeros((192, npix), cdt)
+
+        def acc_tile(slot):
+            accf = lax.dot_general(
+                a_ref[:], pbufs[slot][:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (128, npix)
+            s = jnp.zeros((128, wb), jnp.float32)
+            s2 = jnp.zeros((128, wb), jnp.float32)
+            for j in range(npix // wb):
+                blk = accf[:, j * wb:(j + 1) * wb]
+                s = s + blk
+                s2 = s2 + blk * blk
+            o_ref[0] += s
+            o_ref[1] += s2
+
+        build(0, p0)
+
+        def pair(i2, _):
+            i0 = 2 * i2
+            acc_tile(0)
+            build(i0 + 1, p1)
+            acc_tile(1)
+
+            @pl.when(i0 + 2 < nh)
+            def _():
+                build(i0 + 2, p0)
+            return 0
+
+        lax.fori_loop(0, nh // 2, pair, 0)
+
+    frame_block = (1, 1, ht, 6 * LB)
+
+    def frame_spec(q):
+        return pl.BlockSpec(
+            frame_block,
+            lambda bq, tp, q=q: (bq, jnp.clip(2 * tp - 1 + q, 0, t - 1), 0, 0))
+
+    return pl.pallas_call(
+        kernel,
+        interpret=_DEBUG["interpret"],
+        grid=(b, t // 2),
+        in_specs=[frame_spec(0), frame_spec(1), frame_spec(2), frame_spec(3),
+                  pl.BlockSpec((128, 768), lambda bq, tp: (0, 0))],
+        out_specs=pl.BlockSpec((2, 128, wb), lambda bq, tp: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((2, 128, wb), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((768, npix), cdt),
+            pltpu.VMEM((768, npix), cdt),
+        ],
+    )(xd, xd, xd, xd, a_mat)
+
+
+def stem_batch_stats(xd, x_shape, w):
+    """Per-channel (mean, biased var) of the bare stem conv output on a
+    prepped input — phase 1 of the frozen-stem train path, without
+    materializing the conv output (train-mode BN statistics; reference
+    keeps frozen layers' BatchNorm3d in train mode, ir_CSN_152.py:252-254
+    sets requires_grad only). Stats come from the f32 MXU accumulator
+    rather than the rounded bf16 activations, so they are slightly MORE
+    accurate than reducing the stored tensor."""
+    b, t, h, wd, _ = x_shape
+    hp, wp = h // 2, wd // 2
+    a_mat = _weight_matrix(w.astype(jnp.float32)).astype(jnp.bfloat16)
+    s = _stem_stats_matmul(xd, a_mat, hp, wp)
+    n = b * t * hp * wp
+    sums = jnp.sum(s[0], axis=1)
+    sqs = jnp.sum(s[1], axis=1)
+    sums = sums[:64] + sums[64:]
+    sqs = sqs[:64] + sqs[64:]
+    mean = sums / n
+    var = sqs / n - mean ** 2
+    return mean, var
+
+
 def stem_prep(x):
     """K1 input prep shared by both stem passes: SAME-pad, lane-merge the
     (W, 3) axes, parity-split (deinterleave). Returns the (B, T, H+8, 6*LB)
