@@ -123,8 +123,11 @@ def test_pool_deadline_scheduling():
 
     cfg = _cfg()
     pool = StreamingDetectorPool(cfg, fps=8.0, detect_every=8, max_batch=2)
-    pool.set_deadline("tight", 10_000.0)
-    pool.set_deadline("loose", 60_000.0)
+    # generous absolute values: the subject is the ORDERING (tight < loose)
+    # and the reporting fields; the first step pays a jit compile that can
+    # exceed 10 s on a loaded CI host (observed flake in the fast tier)
+    pool.set_deadline("tight", 120_000.0)
+    pool.set_deadline("loose", 600_000.0)
     # "easy" has no SLO -> scheduled last
 
     frames = _frames(16, seed=3)
