@@ -244,8 +244,11 @@ def train_metric(bs: int = 8, budget_s: int = 900):
     fine-tune recipe (pretrained backbone, tune_point=4, bs=8 — the
     measured per-chip optimum).  No published train-throughput baseline
     exists either, so ``vs_baseline`` is anchored to the same A100 pegging
-    as inference, scaled by the fine-tune backward cost: A100 estimate
-    100 clips/s (fwd + partial bwd ~= 3x fwd FLOPs), target 2x = 200.
+    as inference: A100 estimate 100 clips/s, target 2x = 200. Byte-level
+    grounding (BASELINE.md "Train anchor grounding"): the measured
+    10.3 GB/clip attributed traffic puts the A100 bandwidth ceiling at
+    188 clips/s and the 30-50%-of-roofline eager band at 56-94; 100 is
+    the conservative (target-hardening) edge.
 
     Runs as a bounded subprocess: a cold compile of the bs=8 train graph
     over the remote-TPU relay can take >10 min, and the train line is
