@@ -148,12 +148,31 @@ def test_stem_batch_stats_matches_xla():
     assert float(var.min()) > 0
 
 
+def test_stem_batch_stats_224():
+    """W' = 112 (JHMDB/UCF input size): ghost lanes beyond W' carry
+    nonzero edge-tap garbage that the stats kernel must mask out."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 1, (1, 4, 64, 224, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, .05, (3, 7, 7, 3, 64)), jnp.float32)
+
+    mean, var = S.stem_batch_stats(S.stem_prep(x), x.shape, w)
+
+    y_ref = S._stem_xla(x, w, jnp.ones((64,)), jnp.zeros((64,)),
+                        relu=False).astype(jnp.float32)
+    mean_r = jnp.mean(y_ref, axis=(0, 1, 3, 4))
+    var_r = jnp.mean(jnp.square(y_ref), axis=(0, 1, 3, 4)) - mean_r ** 2
+    assert float(jnp.abs(mean - mean_r).max()) < 1e-3
+    assert float(jnp.abs(var - var_r).max()) < 5e-3
+
+
 def test_train_two_phase_dispatch(monkeypatch):
     """The frozen-stem train path must dispatch (and update batch stats)
     exactly when stem_train_supported holds and stop_grad_stage == 0."""
     from tubelet_transformer_tpu.models import csn as csn_mod
     from tubelet_transformer_tpu.ops.pallas.stem import stem_train_supported
 
-    assert not stem_train_supported((1, 4, 64, 224, 3))   # W' != 128
-    assert stem_train_supported((1, 4, 64, 256, 3)) == (
-        __import__("jax").default_backend() == "tpu")
+    tpu = __import__("jax").default_backend() == "tpu"
+    # W' = 112 (JHMDB/UCF 224 px) supported since the ghost-lane stats mask
+    assert stem_train_supported((1, 4, 64, 224, 3)) == tpu
+    assert stem_train_supported((1, 4, 64, 256, 3)) == tpu
+    assert not stem_train_supported((1, 3, 64, 256, 3))   # odd T

@@ -406,7 +406,7 @@ def _stem_stats_matmul(xd, a_mat, hp, wp):
     npix = HB * wb
     cdt = jnp.bfloat16
     assert nh % 2 == 0, (hp, HB)
-    assert wp == wb, "stats path requires full-lane rows (W' == 128)"
+    assert wp % 4 == 0 and wp <= wb, wp
 
     def kernel(x0, x1, x2, x3, a_ref, o_ref, p0, p1):
         bq = pl.program_id(0)
@@ -448,10 +448,22 @@ def _stem_stats_matmul(xd, a_mat, hp, wp):
             accf = lax.dot_general(
                 a_ref[:], pbufs[slot][:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (128, npix)
+            if wp < wb:
+                # W' < 128 rows carry ghost lanes; near the right edge the
+                # conv taps of a ghost output still touch real columns, so
+                # ghost outputs are nonzero garbage — mask them out of the
+                # statistics (the pooled phase-2 E-selection never reads
+                # them, same reason it needs no mask).
+                lane = lax.broadcasted_iota(jnp.int32, (1, wb), 1)
+                mask = jnp.where(lane < wp, 1.0, 0.0).astype(jnp.float32)
+            else:
+                mask = None
             s = jnp.zeros((128, wb), jnp.float32)
             s2 = jnp.zeros((128, wb), jnp.float32)
             for j in range(npix // wb):
                 blk = accf[:, j * wb:(j + 1) * wb]
+                if mask is not None:
+                    blk = blk * mask
                 s = s + blk
                 s2 = s2 + blk * blk
             o_ref[0] += s
@@ -614,9 +626,10 @@ stem_forward.defvjp(_pfwd, _pbwd)
 
 
 def stem_train_supported(x_shape) -> bool:
-    """Two-phase train path additionally needs the channels-mid conv pass,
-    which requires W' == 128 (full-lane rows): AVA 256-px inputs."""
-    return stem_supported(x_shape) and x_shape[3] // 2 == 128
+    """Two-phase train path: phase 1 is the in-kernel stats pass (ghost
+    lanes masked for W' < 128), phase 2 the pooled kernel — same shape
+    domain as inference (AVA 256 -> W'=128, JHMDB/UCF 224 -> 112)."""
+    return stem_supported(x_shape)
 
 
 def stem_supported(x_shape) -> bool:
