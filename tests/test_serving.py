@@ -344,7 +344,10 @@ def test_pool_infer_chunk_matches_unchunked():
     from tubelet_transformer_tpu.serving import StreamingDetectorPool
 
     cfg = _cfg()
-    base = StreamingDetectorPool(cfg, fps=8.0, detect_every=8, max_batch=4)
+    # infer_chunk=0 forces the monolithic batch (the pool now defaults to
+    # bs=2 chunks, so the unchunked side must opt out explicitly)
+    base = StreamingDetectorPool(cfg, fps=8.0, detect_every=8, max_batch=4,
+                                 infer_chunk=0)
     cfg2 = _cfg()
     cfg2.model.infer_chunk = 2
     chunked = StreamingDetectorPool(cfg2, base._tpl.variables, fps=8.0,

@@ -137,8 +137,14 @@ class StreamingDetector:
                  detect_every: Optional[int] = None, fps: float = 30.0,
                  memory_keyframes: int = 10, memory_slots: int = 5,
                  actor_threshold: float = 0.8, rng_seed: int = 0,
-                 mesh=None):
+                 mesh=None, infer_chunk: Optional[int] = None):
         self.cfg = cfg
+        # None -> follow MODEL.INFER_CHUNK; the pool overrides to 2 so its
+        # >= 4-stream buckets never pay the conv emitter's batch tax
+        # (BASELINE.md "Batch scaling"); _detect_fn still disables chunking
+        # when the batch axis is sharded over a 'data' mesh axis.
+        self._infer_chunk = (cfg.model.infer_chunk if infer_chunk is None
+                             else infer_chunk)
         self.fps = fps
         self.t_len = cfg.data.temp_len
         self.stride = max(1, cfg.data.frame_rate)
@@ -208,7 +214,7 @@ class StreamingDetector:
         # scaling"), so big serving buckets pay no batch tax. Skipped when
         # the batch is sharded over a 'data' mesh axis (chunking would
         # serialize what the mesh parallelizes).
-        ck = self.cfg.model.infer_chunk
+        ck = self._infer_chunk
         b = clip_u8.shape[0]
         data_axis = (self.mesh.shape.get("data", 1)
                      if self.mesh is not None else 1)
@@ -371,7 +377,8 @@ class StreamingDetectorPool:
                  detect_every: Optional[int] = None, fps: float = 30.0,
                  memory_keyframes: int = 10, memory_slots: int = 5,
                  actor_threshold: float = 0.8, rng_seed: int = 0,
-                 mesh=None, instrument: bool = False):
+                 mesh=None, instrument: bool = False,
+                 infer_chunk: Optional[int] = None):
         self.max_batch = max_batch
         # instrument=True decomposes each step's latency into host-assemble /
         # upload / execute+fetch (one extra tiny fetch per chunk to fence the
@@ -379,11 +386,17 @@ class StreamingDetectorPool:
         # land in ``self.last_timing`` after every step().
         self.instrument = instrument
         self.last_timing: List[Dict] = []
-        # template detector owns the model/variables and the prep logic
+        # template detector owns the model/variables and the prep logic;
+        # the pool defaults to bs=2 chunked inference (measured no-batch-tax
+        # path, detections bit-equal) unless the config pins a chunk size or
+        # the caller overrides (0 disables)
+        if infer_chunk is None:
+            infer_chunk = cfg.model.infer_chunk or 2
         self._tpl = StreamingDetector(
             cfg, variables, detect_every=detect_every, fps=fps,
             memory_keyframes=memory_keyframes, memory_slots=memory_slots,
-            actor_threshold=actor_threshold, rng_seed=rng_seed, mesh=mesh)
+            actor_threshold=actor_threshold, rng_seed=rng_seed, mesh=mesh,
+            infer_chunk=infer_chunk)
         self._mk = (memory_keyframes, memory_slots)
         self._streams: Dict = {}
         import threading
