@@ -137,6 +137,9 @@ class ModelConfig:
     # bs=2, so running a batch-8 forward as four scanned bs=2 chunks is
     # 12-15% faster per clip (217.8 -> 243.7 clips/s). Throughput knob for
     # batched serving/eval; leaves latency of the single chunk unchanged.
+    # 0 = off for the jitted eval step; the serving POOL defaults its own
+    # chunk to 2 when this is 0 (serving.py StreamingDetectorPool) and
+    # auto-disables chunking when the batch axis is mesh-sharded.
     infer_chunk: int = 0
     ds_rate: int = 8
     temp_len: int = 32
