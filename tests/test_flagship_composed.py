@@ -61,7 +61,7 @@ def _labelmap(tmp_path):
 
 
 def _make_fixture(tmp_path, rng):
-    """One video, 100 frames at 192x384 (covers keyframes 901-902 at
+    """One video, 100 frames at 192x336 (covers keyframes 901-902 at
     T=32/rate 2 with the same boundary clamp on both paths)."""
     from PIL import Image
 

@@ -239,7 +239,7 @@ def _run_training_body(cfg: Config, preempted) -> None:
 
     train_step = engine.make_train_step(cfg, model, tx,
                                         state_out_shardings=state_out_sh)
-    eval_step = engine.make_eval_step(cfg, model)
+    eval_step = engine.make_eval_step(cfg, model, mesh=mesh)
     rng = jax.random.PRNGKey(cfg.train.seed + 7)
 
     print(f"Start training on {jax.device_count()} devices "
@@ -301,7 +301,7 @@ def run_eval(cfg: Config) -> dict:
     sample_batch = _sample_batch_from(val_loader)
     state, _ = init_state(cfg, model, steps_per_epoch=1,
                           sample_batch=sample_batch)
-    eval_step = engine.make_eval_step(cfg, model)
+    eval_step = engine.make_eval_step(cfg, model, mesh=mesh)
     return _validate(cfg, eval_step, state, val_loader, mesh, epoch=0,
                      writer=None)
 

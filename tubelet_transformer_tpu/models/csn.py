@@ -318,6 +318,13 @@ class CSN(nn.Module):
         in_planes = 64
         for s, (planes, blocks) in enumerate(zip(stage_planes, self.block_nums)):
             if blocks == 0:   # truncated trunk (segment benches)
+                # keep the stop_grad boundary even when the stage itself
+                # is truncated away: the stem-train pallas dispatch above
+                # fires whenever stop_grad_stage >= 0, and its vjp-less
+                # kernels must not be differentiated through (they would
+                # fail at trace time if the boundary silently vanished)
+                if train and self.stop_grad_stage == s + 1:
+                    x = jax.lax.stop_gradient(x)
                 continue
             if s == 0:
                 stride, tstride = 1, 1

@@ -43,6 +43,7 @@ class MultiHeadAttention(nn.Module):
         v: jnp.ndarray,  # (B, Sk, E)
         key_padding_mask: Optional[jnp.ndarray] = None,  # (B, Sk) True = pad
         deterministic: bool = True,
+        packing: Optional[str] = None,  # 'qk' | 'kv' | 'qkv': declared shared inputs
     ) -> jnp.ndarray:
         e = self.embed_dim
         h = self.num_heads
@@ -67,6 +68,19 @@ class MultiHeadAttention(nn.Module):
         # a third of the ops, and N=512/768 fills the MXU better than
         # N=256 (train trace: the three separate projections cost ~4 ms
         # fwd+bwd at bs=8 across the 1215-op transformer group).
+        # Dispatch is on object identity (exact in every branch); callers
+        # that rely on the fast path DECLARE it via ``packing`` so a
+        # refactor that materializes q/k separately fails loudly here
+        # instead of silently dropping the packing.
+        if packing is not None:
+            held = {"qkv": q is k and k is v, "qk": q is k,
+                    "kv": k is v}.get(packing)
+            if held is None:
+                raise ValueError(f"unknown packing {packing!r}")
+            if not held:
+                raise ValueError(
+                    f"packing={packing!r} declared but the arrays are not "
+                    "the same object — caller no longer shares the input")
         if q is k and k is v:
             qp, kp, vp = jnp.split(q.astype(dt) @ w3 + b3, 3, axis=-1)
         elif q is k:
@@ -189,13 +203,15 @@ class EncoderLayer(nn.Module):
         if self.normalize_before:
             s2 = norm1(src)
             qk = with_pos(s2)
-            src = src + drop(attn(qk, qk, s2, key_padding_mask, deterministic))
+            src = src + drop(attn(qk, qk, s2, key_padding_mask, deterministic,
+                                  packing="qk"))
             s2 = norm2(src)
             src = src + drop(ffn(s2))
             return src
 
         qk = with_pos(src)
-        src = norm1(src + drop(attn(qk, qk, src, key_padding_mask, deterministic)))
+        src = norm1(src + drop(attn(qk, qk, src, key_padding_mask, deterministic,
+                                    packing="qk")))
         src = norm2(src + drop(ffn(src)))
         return src
 
@@ -242,7 +258,8 @@ class DecoderLayer(nn.Module):
         if self.normalize_before:
             t2 = norm1(tgt)
             qk = add_pos(t2, query_pos)
-            tgt = tgt + drop(self_attn(qk, qk, t2, None, deterministic))
+            tgt = tgt + drop(self_attn(qk, qk, t2, None, deterministic,
+                                       packing="qk"))
             t2 = norm2(tgt)
             tgt = tgt + drop(cross_attn(add_pos(t2, query_pos), add_pos(memory, pos),
                                         memory, memory_key_padding_mask, deterministic))
@@ -251,7 +268,8 @@ class DecoderLayer(nn.Module):
             return tgt
 
         qk = add_pos(tgt, query_pos)
-        tgt = norm1(tgt + drop(self_attn(qk, qk, tgt, None, deterministic)))
+        tgt = norm1(tgt + drop(self_attn(qk, qk, tgt, None, deterministic,
+                                         packing="qk")))
         tgt = norm2(tgt + drop(cross_attn(add_pos(tgt, query_pos),
                                           add_pos(memory, pos), memory,
                                           memory_key_padding_mask, deterministic)))
@@ -349,7 +367,9 @@ class LSTRDecoderLayer(nn.Module):
                         kernel_init=nn.initializers.xavier_uniform(), name="linear2")
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
-        tgt = norm1(tgt + drop(self_attn(tgt, tgt, tgt, None, deterministic)))
-        tgt = norm2(tgt + drop(cross_attn(tgt, memory, memory, None, deterministic)))
+        tgt = norm1(tgt + drop(self_attn(tgt, tgt, tgt, None, deterministic,
+                                         packing="qkv")))
+        tgt = norm2(tgt + drop(cross_attn(tgt, memory, memory, None,
+                                          deterministic, packing="kv")))
         tgt = norm3(tgt + drop(lin2(drop(nn.relu(lin1(tgt))))))
         return tgt

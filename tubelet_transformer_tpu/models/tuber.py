@@ -242,7 +242,7 @@ class TubeR(nn.Module):
         enc_rep = jnp.broadcast_to(enc[None], (lay_n,) + enc.shape)
         enc_rep = enc_rep.reshape(lay_n * b, tc * h * w, self.hidden_dim)
         q_class = self.cross_attn(hs_q, enc_rep, enc_rep,
-                                  deterministic=deterministic)
+                                  deterministic=deterministic, packing="kv")
         q_class = q_class.reshape(lay_n, b, nb, self.hidden_dim)
 
         if self.use_lfb and lfb_features is not None:

@@ -388,7 +388,9 @@ class StreamingDetectorPool:
         self.last_timing: List[Dict] = []
         # template detector owns the model/variables and the prep logic;
         # the pool defaults to bs=2 chunked inference (measured no-batch-tax
-        # path, detections bit-equal) unless the config pins a chunk size or
+        # path; detections numerically equivalent within float tolerance —
+        # the chunked kernels differ from the bs>=4 kernels, parity tests
+        # assert atol 1e-3/1e-4) unless the config pins a chunk size or
         # the caller overrides (0 disables)
         if infer_chunk is None:
             infer_chunk = cfg.model.infer_chunk or 2

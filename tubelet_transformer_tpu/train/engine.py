@@ -252,7 +252,7 @@ def make_train_step(cfg: Config, model, tx, state_out_shardings=None):
                    out_shardings=(state_out_shardings, None))
 
 
-def make_eval_step(cfg: Config, model):
+def make_eval_step(cfg: Config, model, mesh=None):
     """Jitted eval step: forward + on-device postprocess, plus criterion
     losses for logging unless VAL.COMPUTE_LOSSES is off (mAP needs only
     the postprocess; skipping losses roughly halves the step).
@@ -263,8 +263,10 @@ def make_eval_step(cfg: Config, model):
     "Batch scaling"). Detection outputs are bit-equal to the unchunked
     step; logged loss scalars are chunk-averaged — each chunk normalizes
     by its own box count, the reference's per-GPU DDP loss-averaging
-    semantics. Leave 0 when the batch axis is sharded over a 'data' mesh
-    axis (chunking would serialize what the mesh parallelizes)."""
+    semantics. Chunking is skipped automatically when ``mesh`` has a
+    'data' axis > 1 (the batch axis is mesh-parallel there; lax.map would
+    serialize what GSPMD parallelizes — same guard as serving's
+    _detect_fn)."""
     postprocess = (postprocess_ava if is_ava_mode(cfg)
                    else postprocess_softmax)
 
@@ -286,10 +288,12 @@ def make_eval_step(cfg: Config, model):
         return {"scores": scores, "boxes": boxes, "binary": binary,
                 "losses": loss_dict}
 
+    data_axis = mesh.shape.get("data", 1) if mesh is not None else 1
+
     def eval_step(state: TrainState, batch):
         ck = cfg.model.infer_chunk
         b = batch["clips"].shape[0]
-        if not ck or b <= ck or b % ck:
+        if not ck or b <= ck or b % ck or data_axis > 1:
             return eval_body(state, batch)
         chunked = {k: jnp.reshape(jnp.asarray(v),
                                   (b // ck, ck) + jnp.asarray(v).shape[1:])
