@@ -49,6 +49,17 @@ class TrainConfig:
     # a large cut in peak HBM — enables bigger batches when not using the
     # frozen-backbone recipe. No numerical change.
     remat_backbone: bool = False
+    # Run the FROZEN backbone prefix (stem + stages up to the tune_point
+    # boundary) as a lax.scan over FROZEN_CHUNK-sized batch chunks inside
+    # the train step. The conv emitter's small-batch kernels are 2.5-3.3x
+    # faster per clip than its bs>=4 kernels (BASELINE.md "Batch
+    # scaling"), and the frozen prefix is pure forward — this is the
+    # train-side sibling of MODEL.INFER_CHUNK. BN semantics: per-chunk
+    # batch statistics with sequential EMA running-stat updates — the
+    # reference recipe's unsynced per-GPU BatchNorm3d at per-GPU batch =
+    # FROZEN_CHUNK (its shipped configs train DDP at BATCH_SIZE 2/GPU).
+    # 0 disables (whole-batch statistics, single EMA update).
+    frozen_chunk: int = 0
 
 
 @dataclass

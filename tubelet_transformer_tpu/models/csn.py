@@ -260,11 +260,74 @@ class CSN(nn.Module):
     fused_stages: bool = False
     remat: bool = False         # TRAIN.REMAT_BACKBONE: checkpoint each block
     stop_grad_stage: int = -1   # train/optimizer.stop_grad_stage(cfg)
+    frozen_chunk: int = 0       # TRAIN.FROZEN_CHUNK: chunk the frozen prefix
     dtype: jnp.dtype = jnp.float32
+
+    def _stage_geom(self):
+        """Static per-stage (planes, blocks, stride, tstride, in_planes)."""
+        stage_planes = (64, 128, 256, 512)
+        in_planes = 64
+        geoms = []
+        for s, (planes, blocks) in enumerate(zip(stage_planes,
+                                                 self.block_nums)):
+            if s == 0:
+                stride, tstride = 1, 1
+            elif s == 3:
+                stride, tstride = (2 if self.last_stride else 1), 2
+            else:
+                stride, tstride = 2, 2
+            geoms.append((planes, blocks, stride, tstride, in_planes))
+            if blocks:
+                in_planes = planes * 4
+        return geoms
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = x.astype(self.dtype)
+        nstages = len(self.block_nums)
+        ck = self.frozen_chunk
+        b = x.shape[0]
+        if (train and ck > 0 and self.stop_grad_stage >= 0
+                and b > ck and b % ck == 0):
+            # TRAIN.FROZEN_CHUNK: run the FROZEN prefix (stem + stages up
+            # to the stop_grad boundary) as a lax.scan over fixed-size
+            # batch chunks. Rationale: the conv emitter picks 2.5-3.3x
+            # slower per-clip tiles once the batch axis grows past 2
+            # (BASELINE.md "Batch scaling"); the frozen prefix is pure
+            # forward, so chunking it recovers the small-batch kernels —
+            # the train-side sibling of MODEL.INFER_CHUNK. BN semantics:
+            # each chunk normalizes by ITS OWN batch statistics and the
+            # running stats take sequential per-chunk EMA updates
+            # (variable_carry) — exactly the reference recipe's unsynced
+            # per-GPU BatchNorm3d at per-GPU batch = chunk (its DDP configs
+            # train bs=2/GPU; running stats there are rank-0's stream).
+            nfrozen = min(self.stop_grad_stage, nstages)
+
+            def body(mdl, carry, xc):
+                y = mdl._stem_fwd(xc, train)
+                for s in range(nfrozen):
+                    y = mdl._stage_fwd(s, y, train)
+                return carry, y
+
+            scan_fn = nn.scan(
+                body, variable_broadcast="params",
+                variable_carry="batch_stats",
+                split_rngs={"params": False}, in_axes=0, out_axes=0)
+            xs = x.reshape((b // ck, ck) + x.shape[1:])
+            _, y = scan_fn(self, (), xs)
+            # the whole prefix is frozen: prune the backward here (the
+            # per-path stop_grads inside the body also fire, but this one
+            # keeps the scan itself out of the autodiff graph entirely)
+            x = jax.lax.stop_gradient(y.reshape((b,) + y.shape[2:]))
+            start = nfrozen
+        else:
+            x = self._stem_fwd(x, train)
+            start = 0
+        for s in range(start, nstages):
+            x = self._stage_fwd(s, x, train)
+        return x
+
+    def _stem_fwd(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         conv1 = _StemConv(dtype=self.dtype, name="conv1")
         bn1 = _FoldableBN(64, dtype=self.dtype, name="bn1")
         if self.stem_kernel and not train and stem_supported(x.shape):
@@ -313,74 +376,69 @@ class CSN(nn.Module):
             # frozen stem: prune the backward here (reference freezes via
             # requires_grad=False at tune_point, ir_CSN_152.py:251-303)
             x = jax.lax.stop_gradient(x)
+        return x
 
-        stage_planes = (64, 128, 256, 512)
-        in_planes = 64
-        for s, (planes, blocks) in enumerate(zip(stage_planes, self.block_nums)):
-            if blocks == 0:   # truncated trunk (segment benches)
-                # keep the stop_grad boundary even when the stage itself
-                # is truncated away: the stem-train pallas dispatch above
-                # fires whenever stop_grad_stage >= 0, and its vjp-less
-                # kernels must not be differentiated through (they would
-                # fail at trace time if the boundary silently vanished)
-                if train and self.stop_grad_stage == s + 1:
-                    x = jax.lax.stop_gradient(x)
-                continue
-            if s == 0:
-                stride, tstride = 1, 1
-            elif s == 3:
-                stride, tstride = (2 if self.last_stride else 1), 2
-            else:
-                stride, tstride = 2, 2
-            # Activation remat: recompute each bottleneck in the backward
-            # instead of storing its activations (train-time, full-backprop
-            # memory relief; numerically identical).
-            block_cls = (nn.remat(CSNBottleneck, static_argnums=(2,))
-                         if (self.remat and train) else CSNBottleneck)
-            mods = [block_cls(
-                in_planes=in_planes if b == 0 else planes * 4,
-                planes=planes,
-                stride=stride if b == 0 else 1,
-                temporal_stride=tstride if b == 0 else 1,
-                has_downsample=(b == 0),
-                expansion=4,
-                use_pallas=self.use_pallas,
-                fused_blocks=self.fused_blocks,
-                dtype=self.dtype,
-                name=f"layer{s + 1}_{b}",
-            ) for b in range(blocks)]
-
-            x = mods[0](x, train)
-            if (self.fused_stages and not train and blocks > 1
-                    and chain_supported(x.shape, planes)):
-                # identity tail of the stage as pipelined chain kernels: one
-                # HBM read/write per chain instead of ~6 per block
-                hw = x.shape[2] * x.shape[3]
-                kmax = max_chain(hw, planes * 4, planes)
-                b = 1
-                while b < blocks:
-                    g = min(kmax, blocks - b)
-                    stacked = [jnp.stack(parts) for parts in zip(
-                        *(mods[j].fused_params() for j in range(b, b + g)))]
-                    x = bottleneck_chain(x.astype(self.dtype), *stacked)
-                    b += g
-            else:
-                for mod in mods[1:]:
-                    x = mod(x, train)
-            in_planes = planes * 4
+    def _stage_fwd(self, s: int, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        planes, blocks, stride, tstride, in_planes = self._stage_geom()[s]
+        if blocks == 0:   # truncated trunk (segment benches)
+            # keep the stop_grad boundary even when the stage itself
+            # is truncated away: the stem-train pallas dispatch above
+            # fires whenever stop_grad_stage >= 0, and its vjp-less
+            # kernels must not be differentiated through (they would
+            # fail at trace time if the boundary silently vanished)
             if train and self.stop_grad_stage == s + 1:
                 x = jax.lax.stop_gradient(x)
+            return x
+        # Activation remat: recompute each bottleneck in the backward
+        # instead of storing its activations (train-time, full-backprop
+        # memory relief; numerically identical).
+        block_cls = (nn.remat(CSNBottleneck, static_argnums=(2,))
+                     if (self.remat and train) else CSNBottleneck)
+        mods = [block_cls(
+            in_planes=in_planes if b == 0 else planes * 4,
+            planes=planes,
+            stride=stride if b == 0 else 1,
+            temporal_stride=tstride if b == 0 else 1,
+            has_downsample=(b == 0),
+            expansion=4,
+            use_pallas=self.use_pallas,
+            fused_blocks=self.fused_blocks,
+            dtype=self.dtype,
+            name=f"layer{s + 1}_{b}",
+        ) for b in range(blocks)]
+
+        x = mods[0](x, train)
+        if (self.fused_stages and not train and blocks > 1
+                and chain_supported(x.shape, planes)):
+            # identity tail of the stage as pipelined chain kernels: one
+            # HBM read/write per chain instead of ~6 per block
+            hw = x.shape[2] * x.shape[3]
+            kmax = max_chain(hw, planes * 4, planes)
+            b = 1
+            while b < blocks:
+                g = min(kmax, blocks - b)
+                stacked = [jnp.stack(parts) for parts in zip(
+                    *(mods[j].fused_params() for j in range(b, b + g)))]
+                x = bottleneck_chain(x.astype(self.dtype), *stacked)
+                b += g
+        else:
+            for mod in mods[1:]:
+                x = mod(x, train)
+        if train and self.stop_grad_stage == s + 1:
+            x = jax.lax.stop_gradient(x)
         return x
 
 
 def build_csn(backbone_name: str, last_stride: bool, dtype=jnp.float32,
               use_pallas: bool = False, stem_kernel: bool = True,
               fused_blocks: bool = False, fused_stages: bool = False,
-              remat: bool = False, stop_grad_stage: int = -1) -> CSN:
+              remat: bool = False, stop_grad_stage: int = -1,
+              frozen_chunk: int = 0) -> CSN:
     if backbone_name not in BLOCK_NUMS:
         raise ValueError(f"unknown backbone {backbone_name!r}; "
                          f"supported: {sorted(BLOCK_NUMS)}")
     return CSN(block_nums=BLOCK_NUMS[backbone_name], last_stride=last_stride,
                use_pallas=use_pallas, stem_kernel=stem_kernel,
                fused_blocks=fused_blocks, fused_stages=fused_stages,
-               remat=remat, stop_grad_stage=stop_grad_stage, dtype=dtype)
+               remat=remat, stop_grad_stage=stop_grad_stage,
+               frozen_chunk=frozen_chunk, dtype=dtype)

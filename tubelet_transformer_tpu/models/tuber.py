@@ -89,6 +89,7 @@ class TubeR(nn.Module):
     fused_stages: bool = False
     remat_backbone: bool = False
     stop_grad_stage: int = -1
+    frozen_chunk: int = 0
     use_lfb: bool = False
     generate_lfb: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -101,7 +102,8 @@ class TubeR(nn.Module):
                                   fused_blocks=self.fused_blocks,
                                   fused_stages=self.fused_stages,
                                   remat=self.remat_backbone,
-                                  stop_grad_stage=self.stop_grad_stage)
+                                  stop_grad_stage=self.stop_grad_stage,
+                                  frozen_chunk=self.frozen_chunk)
         self.transformer = Transformer(
             d_model=self.hidden_dim, nhead=self.nhead,
             num_encoder_layers=self.enc_layers,
@@ -334,6 +336,7 @@ def build_model(cfg: Config, mesh=None) -> TubeR:
         fused_stages=cfg.model.fused_stages,
         remat_backbone=cfg.train.remat_backbone,
         stop_grad_stage=stop_grad_stage(cfg),
+        frozen_chunk=cfg.train.frozen_chunk,
         use_lfb=cfg.use_lfb,
         generate_lfb=cfg.model.generate_lfb,
         dtype=dtype,
