@@ -72,6 +72,10 @@ def _train_cfg(img, dataset, pretrained, bs):
     cfg = Config()
     cfg.model.backbone_name = "CSN-152"
     cfg.model.pretrained = pretrained  # True => reference tune_point=4 recipe
+    if pretrained:
+        # bs=2-chunked frozen prefix (see bench_train.py / config.py
+        # TRAIN.FROZEN_CHUNK): dodges the conv emitter's bs>=4 batch tax
+        cfg.train.frozen_chunk = 2
     cfg.data.img_size = img
     cfg.train.batch_size = bs
     cfg.data.dataset_name = dataset

@@ -36,6 +36,13 @@ def main(batch_size: int = 2, backbone: str = "CSN-152",
     # the reference recipe always fine-tunes from a pretrained backbone
     # with tune_point=4 (stem+layers1-2 frozen -> backward pruned there)
     cfg.model.pretrained = pretrained
+    if pretrained:
+        # TRAIN.FROZEN_CHUNK: run the frozen prefix as bs=2 chunks inside
+        # the step — the conv emitter's small-batch kernels dodge the
+        # bs>=4 batch tax (round-5: 106.0 -> 94.1 ms/step at bs=8). BN
+        # semantics = the reference's unsynced per-GPU BatchNorm at its
+        # shipped per-GPU batch of 2 (config.py TRAIN.FROZEN_CHUNK note).
+        cfg.train.frozen_chunk = 2
     cfg.data.img_size = 256
     cfg.train.batch_size = batch_size
     ds = SyntheticAVADataset(cfg, size=batch_size, square=True)
@@ -56,14 +63,21 @@ def main(batch_size: int = 2, backbone: str = "CSN-152",
     float(metrics["total_loss"])
     print(f"# compile: {time.time() - t0:.0f}s", file=sys.stderr)
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        n = 5
-        for _ in range(n):
-            state, metrics = train_step(state, db, key, lw)
-        float(metrics["total_loss"])  # fetch = sync (state-chained steps)
-        best = min(best, (time.perf_counter() - t0) / n)
+    # Hardened estimator (round 5): difference a 2-step and a 12-step
+    # chained run per rep, median of 5 interleaved reps — the same
+    # philosophy as bench.py's inference K-loop diff (round-3 VERDICT #1):
+    # the diff cancels the ~30 ms relay RTT + dispatch of the final fetch,
+    # which the old 3x(5 steps + fetch)/5 method smeared into every step
+    # (~+8 ms/step measured: 106.0 "wall" vs 96.8 diffed on the same
+    # ck=0 build). Real training fetches metrics every N>>1 steps and
+    # queues steps asynchronously, so the diffed number IS the sustained
+    # per-step cost; the fetch cost is a relay artifact, not device work.
+    from benchmarks.bench_secondary import _train_step_stats
+
+    med, spread, range_pct = _train_step_stats(
+        train_step, state, db, key, lw,
+        label=f"train {backbone} bs={batch_size}")
+    best = med
     import json
 
     rec = {
@@ -72,6 +86,8 @@ def main(batch_size: int = 2, backbone: str = "CSN-152",
         "value": round(best * 1e3, 1), "unit": "ms/step",
         "clips_per_sec_chip": round(batch_size / best, 2),
         "batch_size": batch_size,
+        "frozen_chunk": cfg.train.frozen_chunk,
+        "spread_pct": round(spread, 2), "range_pct": round(range_pct, 2),
     }
     from bench import roofline_fields
 
