@@ -1,23 +1,34 @@
-"""Composed-pipeline parity at FLAGSHIP-CLASS shapes (round-3 VERDICT #3).
+"""Composed-pipeline parity at FLAGSHIP-CLASS shapes (round-3 VERDICT #3,
+round-4 VERDICT #2/#6).
 
 tests/test_composed_pipeline.py proves the composition (dataset ->
 transforms -> model -> postprocess -> gather -> evaluator) equals the
-reference's at tiny dims (64 px, T=8, d_ff 512). This test runs the same
-two full compositions at the shape class where padding, bucketing,
+reference's at tiny dims (64 px, T=8, d_ff 512). The cases here run the
+same two full compositions at the shape class where padding, bucketing,
 divisibility and the 2/8-3/8-3/8 posenc split could silently diverge:
 
-  * full CSN-50 trunk -> 2048-d features (flagship channel width,
-    /root/reference/models/backbone_builder.py:59-90,111)
   * IMG_SIZE 256, TEMP_LEN 32, FRAME_RATE 2 (TubeR_CSN152_AVA22.yaml dims)
   * 'decode' temporal pooling (the AVA 2.2 flagship strategy)
-  * DIM_FEEDFORWARD 2048, QUERY_NUM 15, 80 classes
-  * enc/dec reduced to 2+2 layers — the only concession, for CPU-torch
-    tractability (layer count does not change any shape/padding logic,
-    every layer is the same module)
+  * DIM_FEEDFORWARD 2048, QUERY_NUM 15, 80 classes, 2048-d trunk features
 
-Assertions mirror the proven decode-strategy structure (exact-score ties
-under decode pooling make raw mAP sort-order-dependent; see
-test_composed_eval_parity_decode_packed_hostpre's docstring):
+Three cases:
+  1. CSN-50 trunk, enc/dec 2+2 — the fast member of the matrix (round 4).
+  2. RELEASED DEPTH: CSN-152 block counts (3, 8, 36, 3) with enc/dec 6+6 —
+     exactly the released AVA 2.2 config's depth
+     (/root/reference/configuration/TubeR_CSN152_AVA22.yaml,
+     models/backbones/ir_CSN_152.py:203). Round-4 VERDICT #2: depth
+     changes numerics accumulation, so "we match at 2+2" was a weaker
+     sentence than "we match at the released depth". ~6 s/clip torch-CPU
+     trunk forward keeps this tractable (measured round 5).
+  3. GATE REJECTION: a conditioning where some queries sit BELOW the 0.8
+     binary gate on both paths (round-4 VERDICT weak #6) — the all-pass
+     conditioning used elsewhere never exercised the gate rejecting
+     queries at flagship shapes. Asserts the dumps agree on WHICH rows
+     survive (reference gate semantics: models/criterion.py:466-471).
+
+Assertions for cases 1-2 mirror the proven decode-strategy structure
+(exact-score ties under decode pooling make raw mAP sort-order-dependent;
+see test_composed_eval_parity_decode_packed_hostpre's docstring):
   1. row-level parity of the two composed detection dumps;
   2. evaluator-stage exact-mAP parity on the de-tied reference dump;
   3. person AP exact (gap-conditioned binary head, tie-free).
@@ -48,7 +59,8 @@ NUM_CLASSES, Q, T, IMG = 80, 15, 32, 256
 # and dump boxes in a smaller pixel space than the reference's.
 FRAME_H, FRAME_W = 192, 336
 N_KEYS = 2
-ENC, DEC = 2, 2
+
+BLOCK_NUMS = {"CSN-50": (3, 4, 6, 3), "CSN-152": (3, 8, 36, 3)}
 
 
 def _labelmap(tmp_path):
@@ -85,17 +97,28 @@ def _make_fixture(tmp_path, rng):
     return str(d)
 
 
-def _ref_flagship_detr():
-    """Reference DETR at flagship dims: full CSN-50 trunk, decode pooling,
-    D_MODEL 256 / D_FF 2048 / Q 15 / 80 classes, enc/dec 2+2."""
+def _ref_flagship_detr(backbone, enc, dec, conditioning="all-pass"):
+    """Reference DETR at flagship dims: full trunk, decode pooling,
+    D_MODEL 256 / D_FF 2048 / Q 15 / 80 classes.
+
+    ``conditioning``:
+      * 'all-pass'  — every query clears the 0.8 binary gate and class
+        score gaps sit far above cross-framework float noise (ties under
+        the gate are sort-order artifacts; see module docstring).
+      * 'gate-mix'  — the binary head's per-query logit spread is
+        amplified so probs land near 0 or 1 (never near the 0.8
+        threshold, so float noise can't flip the gate) and the bias is
+        centered so BOTH outcomes occur — some queries survive, some are
+        rejected, deterministically on both paths.
+    """
     bb = load_ref("models.backbone_builder")
     tr = load_ref("models.transformer.transformer")
     tuber = load_ref("models.tuber_ava")
 
     model_ns = SimpleNamespace(
-        BACKBONE_NAME="CSN-50", SINGLE_FRAME=True,
+        BACKBONE_NAME=backbone, SINGLE_FRAME=True,
         TEMPORAL_DS_STRATEGY="decode", TEMP_LEN=T, DS_RATE=8,
-        D_MODEL=256, NHEAD=8, ENC_LAYERS=ENC, DEC_LAYERS=DEC,
+        D_MODEL=256, NHEAD=8, ENC_LAYERS=enc, DEC_LAYERS=dec,
         DIM_FEEDFORWARD=2048, NORMALIZE_BEFORE=False, DROPOUT=0.0,
         PRETRAINED=False, PRETRAIN_BACKBONE_DIR="", LAST_STRIDE=False,
         GENERATE_LFB=False, QUERY_NUM=Q)
@@ -106,13 +129,13 @@ def _ref_flagship_detr():
         TRAIN=SimpleNamespace(LR_BACKBONE=1e-5, AUX_LOSS=True)))
 
     torch.manual_seed(0)
-    backbone = bb.build_backbone(cfg)
-    backbone.num_channels = 2048  # backbone_builder.py:111 ties it to D_FF
+    backbone_m = bb.build_backbone(cfg)
+    backbone_m.num_channels = 2048  # backbone_builder.py:111 ties it to D_FF
     transformer = tr.build_transformer(cfg)
-    model = tuber.DETR(backbone, transformer, num_classes=NUM_CLASSES,
+    model = tuber.DETR(backbone_m, transformer, num_classes=NUM_CLASSES,
                        num_queries=Q, aux_loss=True, hidden_dim=256,
                        temporal_length=T, generate_lfb=False,
-                       backbone_name="CSN-50", ds_rate=8, last_stride=False,
+                       backbone_name=backbone, ds_rate=8, last_stride=False,
                        dataset_mode="ava")
     for m in model.modules():
         if isinstance(m, torch.nn.BatchNorm3d):
@@ -121,15 +144,115 @@ def _ref_flagship_detr():
                 m.running_var.uniform_(0.5, 2.0)
     model.eval()
     with torch.no_grad():
-        # same conditioning as test_composed_pipeline._shared_ava_weights:
-        # every query passes the 0.8 gate (ties are sort-order artifacts)
-        # and class-score gaps sit far above cross-framework float noise
-        model.class_embed_b.bias.copy_(torch.tensor([0.0, 4.0, 0.0]))
-        model.class_fc.weight.mul_(10.0)
+        if conditioning == "all-pass":
+            # same conditioning as test_composed_pipeline
+            # ._shared_ava_weights: every query passes the 0.8 gate (ties
+            # are sort-order artifacts) and class-score gaps sit far
+            # above cross-framework float noise
+            model.class_embed_b.bias.copy_(torch.tensor([0.0, 4.0, 0.0]))
+            model.class_fc.weight.mul_(10.0)
+        elif conditioning == "gate-mix":
+            # Per-query gate margins must differ by >> float noise, but
+            # random-weight decoder queries are nearly identical (the
+            # decoder LayerNorms squash query diversity: measured g-spread
+            # 2e-3 at class_embed_b x8). Diversify the queries themselves
+            # (query_embed x10 -> spread 0.04) and amplify the binary head
+            # (x80 -> spread 0.4, widest inter-query gap ~0.08). The bias
+            # that splits the queries across the 0.8 gate depends on the
+            # random features, so _run_composed_case calibrates it with
+            # one forward pass (_calibrate_gate_mix) before conversion.
+            model.query_embed.weight.mul_(10.0)
+            model.class_embed_b.weight.mul_(80.0)
+            model.class_embed_b.bias.copy_(torch.tensor([0.0, 0.0, 0.0]))
+            model.class_fc.weight.mul_(10.0)
+        else:
+            raise ValueError(conditioning)
     return model
 
 
-def _our_flagship_cfg(tmp_path, label_path):
+def _gate_margins_torch(ref, val_loader):
+    """Per-query gate margin g_q = z1 - log(e^z0 + e^z2) of the torch
+    model on the fixture batch; prob1 > 0.8 <=> g_q + bias_delta > ln 4."""
+    with torch.no_grad():
+        samples = next(iter(val_loader))[0]
+        out = ref(samples.to("cpu"))
+        zb = out["pred_logits_b"].float()                 # (B, Q, 3)
+        g = (zb[..., 1]
+             - torch.logsumexp(zb[..., [0, 2]], dim=-1)).reshape(-1)
+    return g.numpy()
+
+
+def _gate_margins_ours(tmp_path, label_path, ref, backbone, enc, dec):
+    """Our pipeline's gate margins on the same fixture: convert the
+    (pre-delta) torch weights, run our dataset -> device_preprocess ->
+    jitted forward, return g_q like _gate_margins_torch."""
+    import jax
+    import jax.numpy as jnp
+
+    from tubelet_transformer_tpu.data.ava import AVADataset
+    from tubelet_transformer_tpu.data.device_preprocess import (
+        device_preprocess,
+    )
+    from tubelet_transformer_tpu.data.loader import DataLoader
+    from tubelet_transformer_tpu.models.tuber import build_model
+    from tubelet_transformer_tpu.train import engine
+
+    sd = {k: v for k, v in ref.state_dict().items()}
+    params, batch_stats = tc.tuber_params_from_torch_state(
+        sd, block_nums=BLOCK_NUMS[backbone], enc_layers=enc, dec_layers=dec,
+        temporal_ds_strategy="decode")
+    cfg = _our_flagship_cfg(tmp_path, label_path, backbone, enc, dec)
+    ds = AVADataset(cfg, "val")
+    loader = DataLoader(ds, batch_size=2, shuffle=False, rank=0, world=1,
+                        num_workers=1, drop_last=True)
+    model = build_model(cfg)
+    batch = next(iter(loader))
+    state, _, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), batch, steps_per_epoch=1)
+    merged = dict(state.params)
+    merged.update(params)
+    clips = device_preprocess(jnp.asarray(batch["clips"]),
+                              pad_mask=jnp.asarray(batch["pad_mask"]))
+    out = model.apply({"params": merged, "batch_stats": batch_stats},
+                      clips, jnp.asarray(batch["pad_mask"]), train=False)
+    zb = np.asarray(out["pred_logits_b"], np.float64)     # (B, Q, 3)
+    lse = np.logaddexp(zb[..., 0], zb[..., 2])
+    return (zb[..., 1] - lse).reshape(-1)
+
+
+def _two_sided_gate_delta(g_t, g_o, floor=8e-3):
+    """Bias delta for the gate-mix conditioning, calibrated against BOTH
+    frameworks (round-5: a one-sided calibration measured flips — the
+    cross-framework error on the amplified gate margins reaches ~0.05-0.1,
+    larger than any single-framework inter-query gap near the median).
+
+    Each query becomes the interval [min(g_t, g_o), max(g_t, g_o)]; the
+    threshold goes into the widest gap of the interval UNION with at
+    least one whole interval on each side. By construction no query can
+    then straddle the threshold differently in the two frameworks; the
+    only remaining error source is within-framework reproducibility
+    between the calibration forward and the pipeline forward (same code,
+    same inputs modulo ~1e-6 transform float noise; measured ~1e-4 on g),
+    so the 8e-3 floor keeps ~2 orders of margin while accepting that 30
+    error-widened intervals leave only ~1e-2 coverage gaps (the seeded
+    fixture measures 1.07e-2)."""
+    iv = np.stack([np.minimum(g_t, g_o), np.maximum(g_t, g_o)], 1)
+    iv = iv[np.argsort(iv[:, 0])]
+    best = None
+    hi = iv[0, 1]
+    for i in range(1, len(iv)):
+        gap_lo, gap_hi = hi, iv[i, 0]
+        if gap_hi > gap_lo:
+            margin = (gap_hi - gap_lo) / 2.0
+            if best is None or margin > best[0]:
+                best = (margin, (gap_lo + gap_hi) / 2.0)
+        hi = max(hi, iv[i, 1])
+    assert best is not None and best[0] > floor, (
+        f"no two-sided gate margin > {floor}: {best}")
+    return float(np.log(4.0)) - best[1]
+
+
+def _our_flagship_cfg(tmp_path, label_path, backbone, enc, dec):
     cfg = Config()
     cfg.data.dataset_name = "ava"
     cfg.data.num_classes = NUM_CLASSES
@@ -141,11 +264,11 @@ def _our_flagship_cfg(tmp_path, label_path):
     cfg.data.frame_rate = 2
     cfg.data.max_boxes = 6
     cfg.data.native_decode = False
-    cfg.model.backbone_name = "CSN-50"
+    cfg.model.backbone_name = backbone
     cfg.model.query_num = Q
     cfg.model.temp_len = T
-    cfg.model.enc_layers = ENC
-    cfg.model.dec_layers = DEC
+    cfg.model.enc_layers = enc
+    cfg.model.dec_layers = dec
     cfg.model.dim_feedforward = 2048
     cfg.model.temporal_ds_strategy = "decode"
     cfg.model.last_stride = False
@@ -154,19 +277,12 @@ def _our_flagship_cfg(tmp_path, label_path):
     return cfg
 
 
-def test_flagship_shape_composed_parity(tmp_path, rng, _cpu_torch):  # noqa: F811
-    np.int = int
-    np.float = np.float64
-    np.NAN = np.nan
-
-    frames_dir = _make_fixture(tmp_path, rng)
-    label_path = _labelmap(tmp_path)
-
-    # At class_num=80 the reference evaluator hardcodes an absolute path to
-    # the AVA v2.1 excluded-timestamps CSV (evaluates/evaluate_ava.py:36,
-    # "/xxx/datasets/..."). Shadow `open` in that module's globals so the
-    # phantom path reads as an empty file — the synthetic fixture has no
-    # excluded keys, and our evaluator's exclude_keys defaults to () too.
+def _shim_ref_evaluator(tmp_path):
+    """At class_num=80 the reference evaluator hardcodes an absolute path
+    to the AVA v2.1 excluded-timestamps CSV (evaluates/evaluate_ava.py:36,
+    "/xxx/datasets/..."). Shadow `open` in that module's globals so the
+    phantom path reads as an empty file — the synthetic fixture has no
+    excluded keys, and our evaluator's exclude_keys defaults to () too."""
     ref_ev_mod = load_ref("evaluates.evaluate_ava")
 
     def _shim_open(path, *a, **k):
@@ -175,12 +291,22 @@ def test_flagship_shape_composed_parity(tmp_path, rng, _cpu_torch):  # noqa: F81
         return open(path, *a, **k)
 
     ref_ev_mod.open = _shim_open
+    return ref_ev_mod
 
-    ref = _ref_flagship_detr()
-    sd = {k: v for k, v in ref.state_dict().items()}
-    params, batch_stats = tc.tuber_params_from_torch_state(
-        sd, block_nums=(3, 4, 6, 3), enc_layers=ENC, dec_layers=DEC,
-        temporal_ds_strategy="decode")
+
+def _run_composed_case(tmp_path, rng, backbone, enc, dec,
+                       conditioning="all-pass"):
+    """Run BOTH composed eval pipelines on the shared fixture with the
+    same converted weights; return everything the case assertions need."""
+    np.int = int
+    np.float = np.float64
+    np.NAN = np.nan
+
+    frames_dir = _make_fixture(tmp_path, rng)
+    label_path = _labelmap(tmp_path)
+    ref_ev_mod = _shim_ref_evaluator(tmp_path)
+
+    ref = _ref_flagship_detr(backbone, enc, dec, conditioning)
 
     # --- reference composed eval ------------------------------------------
     av = load_ref("datasets.ava_frame")
@@ -213,10 +339,22 @@ def test_flagship_shape_composed_parity(tmp_path, rng, _cpu_torch):  # noqa: F81
         val_ds, batch_size=2, shuffle=False, num_workers=0,
         collate_fn=misc.collate_fn)
 
+    if conditioning == "gate-mix":
+        g_t = _gate_margins_torch(ref, val_loader)
+        g_o = _gate_margins_ours(tmp_path, label_path, ref, backbone,
+                                 enc, dec)
+        delta = _two_sided_gate_delta(g_t, g_o)
+        with torch.no_grad():
+            ref.class_embed_b.bias[1] += delta
+    sd = {k: v for k, v in ref.state_dict().items()}
+    params, batch_stats = tc.tuber_params_from_torch_state(
+        sd, block_nums=BLOCK_NUMS[backbone], enc_layers=enc, dec_layers=dec,
+        temporal_ds_strategy="decode")
+
     matcher = matcher_mod.build_matcher(ref_cfg)
     weight_dict = {"loss_ce": 12.0, "loss_bbox": 5.0, "loss_giou": 2.0,
                    "loss_ce_b": 1}
-    weight_dict.update({f"{k}_{i}": v for i in range(DEC - 1)
+    weight_dict.update({f"{k}_{i}": v for i in range(dec - 1)
                         for k, v in dict(weight_dict).items()})
     criterion = crit_mod.SetCriterionAVA(
         10.0, NUM_CLASSES, num_queries=Q, matcher=matcher,
@@ -241,14 +379,12 @@ def test_flagship_shape_composed_parity(tmp_path, rng, _cpu_torch):  # noqa: F81
 
     from tubelet_transformer_tpu.data.ava import AVADataset
     from tubelet_transformer_tpu.data.loader import DataLoader
-    from tubelet_transformer_tpu.eval.ava_eval import (AVADetectionEvaluator,
-                                                       _parse_txt)
     from tubelet_transformer_tpu.models.tuber import build_model
     from tubelet_transformer_tpu.parallel import mesh as mesh_lib
     from tubelet_transformer_tpu.train import engine
     from tubelet_transformer_tpu.train.loop import validate_ava
 
-    cfg = _our_flagship_cfg(tmp_path, label_path)
+    cfg = _our_flagship_cfg(tmp_path, label_path, backbone, enc, dec)
     ds = AVADataset(cfg, "val")
     loader = DataLoader(ds, batch_size=2, shuffle=False, rank=0, world=1,
                         num_workers=1, drop_last=True)
@@ -264,42 +400,54 @@ def test_flagship_shape_composed_parity(tmp_path, rng, _cpu_torch):  # noqa: F81
     dump_dir = str(tmp_path / "our_dump")
     result = validate_ava(cfg, eval_step, state, loader, mesh, epoch=0,
                           label_path=label_path, dump_dir=dump_dir)
+    return SimpleNamespace(
+        result=result, ref_person=ref_person, ref_ev_mod=ref_ev_mod,
+        ref_res=tmp_path / "ref_out" / "res",
+        our_dump=tmp_path / "our_dump" / "0.txt", label_path=label_path)
+
+
+def _rows_by_key(path):
+    from tubelet_transformer_tpu.eval.ava_eval import _parse_txt
+
+    by_key = {}
+    for key, vals in _parse_txt([str(path)], set()):
+        by_key.setdefault(key, []).append(vals)
+    return {k: np.asarray(sorted(v), float) for k, v in by_key.items()}
+
+
+def _assert_full_parity(tmp_path, case):
+    """The three-assertion structure shared by the all-pass cases."""
+    from tubelet_transformer_tpu.eval.ava_eval import AVADetectionEvaluator
 
     # 3. person AP exact (tie-free by construction)
-    assert ref_person is not None and not np.isnan(ref_person)
-    assert abs(result["person_AP"] - ref_person) < 1e-6, (
-        result["person_AP"], ref_person)
+    assert case.ref_person is not None and not np.isnan(case.ref_person)
+    assert abs(case.result["person_AP"] - case.ref_person) < 1e-6, (
+        case.result["person_AP"], case.ref_person)
 
     # 2. evaluator-stage exact parity on the de-tied reference dump
-    ref_res = tmp_path / "ref_out" / "res"
     jittered = tmp_path / "ref_dets_detied.txt"
-    with open(ref_res / "0.txt") as f, open(jittered, "w") as out:
+    with open(case.ref_res / "0.txt") as f, open(jittered, "w") as out:
         for i, line in enumerate(f):
             key, rest = line.split(" [")
             vals = [float(x) for x in rest.split("]")[0].split(",")]
             vals[4:4 + NUM_CLASSES] = [v + (i + 1) * 1e-6
                                        for v in vals[4:4 + NUM_CLASSES]]
             out.write("{} [{}]\n".format(key, ", ".join(map(str, vals))))
-    ref_ev = ref_ev_mod.STDetectionEvaluater(
-        label_path, tiou_thresholds=[0.5], class_num=NUM_CLASSES)
-    ref_ev.load_GT_from_path([str(ref_res / "GT_0.txt")])
+    ref_ev = case.ref_ev_mod.STDetectionEvaluater(
+        case.label_path, tiou_thresholds=[0.5], class_num=NUM_CLASSES)
+    ref_ev.load_GT_from_path([str(case.ref_res / "GT_0.txt")])
     ref_ev.load_detection_from_path([str(jittered)])
     ref_detied_map, _ = ref_ev.evaluate()
-    ev = AVADetectionEvaluator(label_path=label_path, class_num=NUM_CLASSES)
-    ev.load_gt_from_files([str(ref_res / "GT_0.txt")])
+    ev = AVADetectionEvaluator(label_path=case.label_path,
+                               class_num=NUM_CLASSES)
+    ev.load_gt_from_files([str(case.ref_res / "GT_0.txt")])
     ev.load_detections_from_files([str(jittered)])
     maps, _ = ev.evaluate()
     assert abs(maps[0] - ref_detied_map[0]) < 1e-9, (maps[0], ref_detied_map)
 
     # 1. row-level parity of the composed dumps (boxes in 256x512-px space)
-    def rows_by_key(path):
-        by_key = {}
-        for key, vals in _parse_txt([str(path)], set()):
-            by_key.setdefault(key, []).append(vals)
-        return {k: np.asarray(sorted(v), float) for k, v in by_key.items()}
-
-    ref_rows = rows_by_key(ref_res / "0.txt")
-    our_rows = rows_by_key(tmp_path / "our_dump" / "0.txt")
+    ref_rows = _rows_by_key(case.ref_res / "0.txt")
+    our_rows = _rows_by_key(case.our_dump)
     assert set(ref_rows) == set(our_rows)
     assert len(ref_rows) == N_KEYS
     for key in ref_rows:
@@ -309,3 +457,71 @@ def test_flagship_shape_composed_parity(tmp_path, rng, _cpu_torch):  # noqa: F81
                                    err_msg=f"boxes diverged at {key}")
         np.testing.assert_allclose(o[:, 4:], r[:, 4:], atol=1e-3,
                                    err_msg=f"scores diverged at {key}")
+
+
+def test_flagship_shape_composed_parity(tmp_path, rng, _cpu_torch):  # noqa: F811
+    """Case 1: CSN-50 trunk, enc/dec 2+2 (the fast matrix member)."""
+    case = _run_composed_case(tmp_path, rng, "CSN-50", 2, 2)
+    _assert_full_parity(tmp_path, case)
+
+
+def test_flagship_released_depth_composed_parity(tmp_path, rng, _cpu_torch):  # noqa: F811
+    """Case 2 (round-4 VERDICT #2): the RELEASED AVA 2.2 depth — CSN-152
+    block counts (3, 8, 36, 3) and enc/dec 6+6
+    (/root/reference/configuration/TubeR_CSN152_AVA22.yaml,
+    ir_CSN_152.py:203). Depth changes numerics accumulation; this pins
+    composed parity at the depth users actually run."""
+    case = _run_composed_case(tmp_path, rng, "CSN-152", 6, 6)
+    _assert_full_parity(tmp_path, case)
+
+
+def test_flagship_composed_gate_rejection(tmp_path, rng, _cpu_torch):  # noqa: F811
+    """Case 3 (round-4 VERDICT weak #6): some queries sit BELOW the 0.8
+    binary gate on both paths; assert the dumps agree on WHICH rows
+    survive. The all-pass conditioning never exercised rejection at
+    flagship shapes (reference gate: models/criterion.py:466-471 —
+    prob_binary <= 0.8 zeroes every class score for that query)."""
+    case = _run_composed_case(tmp_path, rng, "CSN-50", 2, 2,
+                              conditioning="gate-mix")
+
+    ref_rows = _rows_by_key(case.ref_res / "0.txt")
+    our_rows = _rows_by_key(case.our_dump)
+    assert set(ref_rows) == set(our_rows)
+    assert len(ref_rows) == N_KEYS
+    # Gate agreement is STRICT: the two-sided calibration places the
+    # threshold so that no query's [g_torch, g_ours] interval straddles
+    # it (_two_sided_gate_delta), so a disagreement here is a genuine
+    # gate-semantics bug (threshold value, comparison direction, zeroing),
+    # not float noise. The continuous columns carry the amplified
+    # conditioning's cross-framework error (~0.05-0.1 on the gate margin
+    # -> up to a few 1e-2 on mid-range probabilities), hence the looser
+    # atol than the all-pass cases — the property under test is WHICH
+    # rows survive, not score precision (covered by the all-pass cases).
+    total_surv = total_gated = 0
+    for key in ref_rows:
+        r, o = ref_rows[key], our_rows[key]
+        assert r.shape == o.shape, (key, r.shape, o.shape)
+        # rows pair by sorted box coordinates (first sort columns; boxes
+        # are query-diversified and well separated)
+        np.testing.assert_allclose(o[:, :4], r[:, :4], atol=5e-2,
+                                   err_msg=f"boxes diverged at {key}")
+        r_bin, o_bin = r[:, -1], o[:, -1]
+        np.testing.assert_allclose(o_bin, r_bin, atol=5e-2,
+                                   err_msg=f"binary prob diverged at {key}")
+        # a row "survives" iff any class score is nonzero (the reference
+        # gate zeroes all C scores of a rejected query,
+        # models/criterion.py:470, so the zero/nonzero split IS the gate
+        # decision as recorded in the dump)
+        r_surv = (r[:, 4:4 + NUM_CLASSES] != 0).any(1)
+        o_surv = (o[:, 4:4 + NUM_CLASSES] != 0).any(1)
+        assert (r_surv == o_surv).all(), (
+            key, r_surv.astype(int), o_surv.astype(int))
+        np.testing.assert_allclose(o[:, 4:], r[:, 4:], atol=5e-2,
+                                   err_msg=f"scores diverged at {key}")
+        assert (r[~r_surv, 4:4 + NUM_CLASSES] == 0).all()
+        assert (o[~o_surv, 4:4 + NUM_CLASSES] == 0).all()
+        total_surv += int(r_surv.sum())
+        total_gated += int((~r_surv).sum())
+    # fixture sanity: queries on both sides of the gate on both paths
+    # (otherwise this is the all-pass case again and proves nothing new)
+    assert total_surv > 0 and total_gated > 0, (total_surv, total_gated)
