@@ -72,9 +72,12 @@ def _train_cfg(img, dataset, pretrained, bs):
     cfg = Config()
     cfg.model.backbone_name = "CSN-152"
     cfg.model.pretrained = pretrained  # True => reference tune_point=4 recipe
-    if pretrained:
+    if pretrained and img == 256:
         # bs=2-chunked frozen prefix (see bench_train.py / config.py
         # TRAIN.FROZEN_CHUNK): dodges the conv emitter's bs>=4 batch tax
+        # at the AVA-256 shapes. Measured NOT to pay at 224 px
+        # (JHMDB-224: 103.2 ms ck=0 vs 105.1 ck=2), so that recipe stays
+        # unchunked.
         cfg.train.frozen_chunk = 2
     cfg.data.img_size = img
     cfg.train.batch_size = bs

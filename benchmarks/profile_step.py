@@ -210,8 +210,10 @@ def profile_train(bs: int, logdir: str, iters: int = 4):
     cfg = _flagship_cfg()
     cfg.data.dataset_name = "synthetic"
     cfg.train.batch_size = bs
-    # reference fine-tune recipe: pretrained backbone, tune_point freeze
+    # reference fine-tune recipe: pretrained backbone, tune_point freeze,
+    # bs=2-chunked frozen prefix (matches bench_train.py's recipe)
     cfg.model.pretrained = True
+    cfg.train.frozen_chunk = 2
 
     model = build_model(cfg)
     ds = SyntheticAVADataset(cfg, size=bs)

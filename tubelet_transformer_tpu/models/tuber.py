@@ -306,6 +306,13 @@ def build_model(cfg: Config, mesh=None) -> TubeR:
     if cfg.mesh.pipe > 1 and mesh is None:
         raise ValueError("MESH.PIPE > 1 requires build_model(cfg, mesh=...) "
                          "so the pipelined encoder can shard_map over it")
+    if cfg.train.frozen_chunk and cfg.mesh.data > 1:
+        # chunking splits the global batch axis that DP shards — the scan
+        # would reshard every chunk, and with DP the per-device batch is
+        # already small enough that the conv emitter's bs>=4 tax (the
+        # reason FROZEN_CHUNK exists) does not apply
+        raise ValueError("TRAIN.FROZEN_CHUNK is a single-chip optimization;"
+                         " disable it when MESH.DATA > 1")
     return TubeR(
         num_classes=cfg.data.num_classes,
         num_queries=cfg.model.query_num,
