@@ -101,6 +101,14 @@ class DataConfig:
     max_boxes: int = 32
     # Sample count of the synthetic smoke dataset (tests / dry runs).
     synthetic_size: int = 64
+    # Paired variant: EVERY clip carries exactly two fixed-size blobs
+    # (left -> class 0, right -> class 1), with the TARGET ARRAY ORDER
+    # randomized per sample. With QUERY_NUM=2 each query is matched every
+    # step (gate-friendly) but only cost-based Hungarian assignment is
+    # stable across the shuffled target order — an identity/permutation
+    # matcher bug makes each query chase alternating sides and collapses
+    # localization (the multi-query quality gate, tests/test_e2e.py).
+    synthetic_pair: bool = False
     # Easy detection variant of the synthetic task (one fixed-size box,
     # left-or-right): quickly learnable end-to-end, used by the e2e
     # detection-quality gate (tests/test_e2e.py overfit test).

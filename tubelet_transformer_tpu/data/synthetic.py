@@ -35,6 +35,8 @@ class SyntheticAVADataset:
         m, c = cfg.data.max_boxes, cfg.data.num_classes
 
         clip = rng.normal(0, 0.3, (t, ch, cw, 3)).astype(np.float32)
+        if getattr(cfg.data, "synthetic_pair", False):
+            return self._pair_sample(clip, index, rng)
         easy = getattr(cfg.data, "synthetic_easy", False)
         n = 1 if easy else int(rng.integers(1, min(m, 4) + 1))
         boxes = np.zeros((m, 4), np.float32)
@@ -66,6 +68,42 @@ class SyntheticAVADataset:
             clip[:, max(y0, 0):y1, max(x0, 0):x1] += 0.6
             clip[:, max(y0, 0):y1, max(x0, 0):x1, cls % 3] += 1.2
 
+        return {
+            "clips": clip,
+            "pad_mask": np.zeros((ch, cw), bool),
+            "boxes": boxes,
+            "labels": labels,
+            "valid": valid,
+            "sizes": np.array([ch, cw], np.float32),
+            "image_key": f"synth,{900 + index:04d}",
+            "key_idx": np.int32(index),
+            "key_pos": t // 2,
+        }
+
+    def _pair_sample(self, clip, index, rng):
+        """DATA.SYNTHETIC_PAIR: two blobs every clip — left is class 0,
+        right is class 1 — with the target ARRAY ORDER shuffled per
+        sample (see config.py note: stable training then requires real
+        cost-based assignment, not positional matching)."""
+        cfg = self.cfg
+        t = cfg.data.temp_len
+        ch, cw = clip.shape[1:3]
+        m, c = cfg.data.max_boxes, cfg.data.num_classes
+        assert m >= 2 and c >= 2
+        boxes = np.zeros((m, 4), np.float32)
+        labels = np.zeros((m, c), np.float32)
+        valid = np.zeros((m,), bool)
+        order = [0, 1] if rng.random() < 0.5 else [1, 0]
+        for slot, side in enumerate(order):
+            cx, cy = (0.27 if side == 0 else 0.73), 0.5
+            w, h = 0.38, 0.38
+            boxes[slot] = [cx, cy, w, h]
+            labels[slot, side] = 1.0
+            valid[slot] = True
+            x0, x1 = int((cx - w / 2) * cw), int((cx + w / 2) * cw)
+            y0, y1 = int((cy - h / 2) * ch), int((cy + h / 2) * ch)
+            clip[:, max(y0, 0):y1, max(x0, 0):x1] += 0.6
+            clip[:, max(y0, 0):y1, max(x0, 0):x1, side] += 1.2
         return {
             "clips": clip,
             "pad_mask": np.zeros((ch, cw), bool),
