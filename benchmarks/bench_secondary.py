@@ -63,7 +63,11 @@ def _train_step_stats(train_step, state, db, key, lw, n_lo=2, n_hi=12,
           + ", ".join(f"{d * 1e3:.1f}" for d in diffs)
           + f" (median {med * 1e3:.1f}, IQR spread {100 * iqr / med:.1f}%)",
           file=sys.stderr)
-    return med, 100.0 * iqr / med, 100.0 * (diffs[-1] - diffs[0]) / med
+    # the caller's state buffers were DONATED by the first step here —
+    # return the live final state so follow-up runs (roofline trace)
+    # don't execute on deleted buffers
+    return med, 100.0 * iqr / med, 100.0 * (diffs[-1] - diffs[0]) / med, \
+        holder
 
 
 def _train_cfg(img, dataset, pretrained, bs):
@@ -131,8 +135,8 @@ def bench_train_recipe(metric, img=256, dataset="ava", pretrained=True,
     float(m["total_loss"])
     print(f"# {metric} compile: {time.time() - t0:.0f}s", file=sys.stderr)
 
-    med, spread, rng_pct = _train_step_stats(train_step, state, db, key, lw,
-                                             label=metric)
+    med, spread, rng_pct, _ = _train_step_stats(
+        train_step, state, db, key, lw, label=metric)
     cps = bs / med
     print(json.dumps({
         "metric": metric, "value": round(cps, 2), "unit": "clips/s",

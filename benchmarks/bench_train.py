@@ -74,7 +74,7 @@ def main(batch_size: int = 2, backbone: str = "CSN-152",
     # per-step cost; the fetch cost is a relay artifact, not device work.
     from benchmarks.bench_secondary import _train_step_stats
 
-    med, spread, range_pct = _train_step_stats(
+    med, spread, range_pct, state = _train_step_stats(
         train_step, state, db, key, lw,
         label=f"train {backbone} bs={batch_size}")
     best = med
