@@ -1,5 +1,5 @@
-# Test tiers (the full suite takes ~55 min on this 1-core box).
-# `test-fast` runs in ~8 min here.
+# Test tiers (the full suite takes ~2h on this 1-core box).
+# `test-fast` runs in ~14 min here; `test-slow` ~100 min.
 .PHONY: test-fast test-slow test-all
 
 test-fast:
