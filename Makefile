@@ -1,5 +1,6 @@
-# Test tiers (the full suite takes ~2h on this 1-core box).
-# `test-fast` runs in ~14 min here; `test-slow` ~100 min.
+# Test tiers (the full suite takes ~3h on this 1-core box).
+# `test-fast` runs in ~14 min here; `test-slow` ~2.5h (the two
+# released-depth composed-parity cases are ~50 min of that).
 .PHONY: test-fast test-slow test-all
 
 test-fast:

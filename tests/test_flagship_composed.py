@@ -11,7 +11,7 @@ divisibility and the 2/8-3/8-3/8 posenc split could silently diverge:
   * 'decode' temporal pooling (the AVA 2.2 flagship strategy)
   * DIM_FEEDFORWARD 2048, QUERY_NUM 15, 80 classes, 2048-d trunk features
 
-Three cases:
+Four cases:
   1. CSN-50 trunk, enc/dec 2+2 — the fast member of the matrix (round 4).
   2. RELEASED DEPTH: CSN-152 block counts (3, 8, 36, 3) with enc/dec 6+6 —
      exactly the released AVA 2.2 config's depth
@@ -25,6 +25,10 @@ Three cases:
      conditioning used elsewhere never exercised the gate rejecting
      queries at flagship shapes. Asserts the dumps agree on WHICH rows
      survive (reference gate semantics: models/criterion.py:466-471).
+  4. JHMDB AT ITS RELEASED DIMS (round-4 VERDICT #2b): IMG 224 / T=32 /
+     Q*T tubelet queries / 21 classes / CSN-152 6+6 through the full
+     UCF-evaluator composition, mAP equal to the reference's
+     (test_flagship_jhmdb224_composed_parity; ~41 min on one core).
 
 Assertions for cases 1-2 mirror the proven decode-strategy structure
 (exact-score ties under decode pooling make raw mAP sort-order-dependent;
@@ -525,3 +529,201 @@ def test_flagship_composed_gate_rejection(tmp_path, rng, _cpu_torch):  # noqa: F
     # fixture sanity: queries on both sides of the gate on both paths
     # (otherwise this is the all-pass case again and proves nothing new)
     assert total_surv > 0 and total_gated > 0, (total_surv, total_gated)
+
+
+# ---------------------------------------------------------------------------
+# JHMDB at its released dims (round-4 VERDICT #2b)
+
+C_J, Q_J, T_J, IMG_J = 21, 10, 32, 224  # configuration/tuber_csn152_jhmdb.yaml
+
+
+def _make_jhmdb224_fixture(tmp_path, rng):
+    """One JHMDB-resolution video (240x320, the real dataset's frame size),
+    nframes = T_J so the val enumeration yields 32 keyframes, one
+    full-length tube (every keyframe has GT on both paths)."""
+    import pickle
+
+    from PIL import Image
+
+    vid = "cls/v0"
+    d = tmp_path / "frames" / vid
+    d.mkdir(parents=True)
+    for i in range(T_J):
+        arr = rng.integers(0, 255, (240, 320, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{i + 1:05d}.png")
+    tube = np.stack([
+        np.arange(T_J, dtype=np.float32),
+        np.full(T_J, 40.0), np.full(T_J, 30.0),
+        np.full(T_J, 200.0), np.full(T_J, 180.0)], axis=1)
+    with open(tmp_path / "JHMDB-GT.pkl", "wb") as f:
+        pickle.dump({"train_videos": [[vid]], "test_videos": [[vid]],
+                     "nframes": {vid: T_J},
+                     "resolution": {vid: (240, 320)},
+                     "gttubes": {vid: {3: [tube]}},
+                     "labels": [f"action{i}" for i in range(C_J)]}, f)
+    return str(tmp_path / "frames")
+
+
+def _ref_flagship_jhmdb_detr():
+    """Reference DETR at the released JHMDB depth: CSN-152 trunk
+    (3, 8, 36, 3), enc/dec 6+6, decode pooling, Q=10 tubelet queries,
+    21 classes (configuration/tuber_csn152_jhmdb.yaml,
+    ir_CSN_152.py:203)."""
+    bb = load_ref("models.backbone_builder")
+    tr = load_ref("models.transformer.transformer")
+    tuber = load_ref("models.tuber_ava")
+
+    model_ns = SimpleNamespace(
+        BACKBONE_NAME="CSN-152", SINGLE_FRAME=True,
+        TEMPORAL_DS_STRATEGY="decode", TEMP_LEN=T_J, DS_RATE=8,
+        D_MODEL=256, NHEAD=8, ENC_LAYERS=6, DEC_LAYERS=6,
+        DIM_FEEDFORWARD=2048, NORMALIZE_BEFORE=False, DROPOUT=0.0,
+        PRETRAINED=False, PRETRAIN_BACKBONE_DIR="", LAST_STRIDE=False,
+        GENERATE_LFB=False, QUERY_NUM=Q_J)
+    cfg = SimpleNamespace(CONFIG=SimpleNamespace(
+        MODEL=model_ns,
+        DATA=SimpleNamespace(NUM_CLASSES=C_J, IMG_SIZE=IMG_J,
+                             DATASET_NAME="jhmdb"),
+        TRAIN=SimpleNamespace(LR_BACKBONE=1e-5, AUX_LOSS=True)))
+
+    torch.manual_seed(0)
+    backbone_m = bb.build_backbone(cfg)
+    backbone_m.num_channels = 2048
+    transformer = tr.build_transformer(cfg)
+    model = tuber.DETR(backbone_m, transformer, num_classes=C_J,
+                       num_queries=Q_J, aux_loss=True, hidden_dim=256,
+                       temporal_length=T_J, generate_lfb=False,
+                       backbone_name="CSN-152", ds_rate=8,
+                       last_stride=False, dataset_mode="jhmdb")
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm3d):
+            with torch.no_grad():
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    model.eval()
+    with torch.no_grad():
+        # same conditioning as the tiny JHMDB composed case: spread the
+        # (2-way) actor head and the (C+1) softmax head so rankings sit
+        # far from cross-framework numeric noise
+        model.class_embed_b.bias.copy_(torch.tensor([0.0, 2.0]))
+        model.class_fc.weight.mul_(10.0)
+    return model
+
+
+def test_flagship_jhmdb224_composed_parity(tmp_path, rng, _cpu_torch):  # noqa: F811
+    """The JHMDB composition at its RELEASED dims (round-4 VERDICT #2b):
+    IMG 224 / T=32 / Q*T tubelet queries / 21 classes through the full
+    pipelines — reference jhmdb_frame dataset -> torch CSN-152 6+6 DETR
+    -> SetCriterion/PostProcess -> validate_tuber_ucf_detection vs our
+    JHMDBDataset -> jitted eval -> validate_ucf — asserting equal mAP.
+    (tests/test_composed_pipeline.py proves the same composition at tiny
+    dims only; 224 px exercises the W'=112 shape class whose TPU stem
+    kernel path is separately pinned by the ghost-lane interpret-mode
+    tests in test_pallas_stem.py — the CPU run here takes the XLA stem,
+    identical math.) Reference anchor: eval_tuber_jhmdb.py:20-92,
+    datasets/jhmdb_frame.py:201-208."""
+    np.int = int
+    np.float = np.float64
+    np.NAN = np.nan
+
+    frames_dir = _make_jhmdb224_fixture(tmp_path, rng)
+
+    ref = _ref_flagship_jhmdb_detr()
+    sd = {k: v for k, v in ref.state_dict().items()}
+    params, batch_stats = tc.tuber_params_from_torch_state(
+        sd, block_nums=BLOCK_NUMS["CSN-152"], enc_layers=6, dec_layers=6,
+        temporal_ds_strategy="decode")
+
+    # --- reference composed eval ------------------------------------------
+    jf = load_ref("datasets.jhmdb_frame")
+    misc = load_ref("utils.misc")
+    var = load_ref("utils.video_action_recognition")
+    crit_mod = load_ref("models.criterion")
+    matcher_mod = load_ref("models.detr.matcher_ucf")
+
+    ddp = SimpleNamespace(GPU_WORLD_RANK=0, GPU=0, GPU_WORLD_SIZE=1,
+                          DISTRIBUTED=False)
+    ref_cfg = SimpleNamespace(CONFIG=SimpleNamespace(
+        LOG=SimpleNamespace(BASE_PATH=str(tmp_path / "ref_out"),
+                            RES_DIR="res"),
+        MODEL=SimpleNamespace(SINGLE_FRAME=True, QUERY_NUM=Q_J, DS_RATE=8),
+        MATCHER=SimpleNamespace(COST_CLASS=1.0, COST_BBOX=5.0,
+                                COST_GIOU=2.0, BNY_LOSS=True, BEFORE=False),
+        DATA=SimpleNamespace(LABEL_PATH="", NUM_CLASSES=C_J,
+                             DATASET_NAME="jhmdb"),
+        TWO_STREAM=False, USE_LFB=False, USE_LOCATION=False), DDP_CONFIG=ddp)
+
+    val_ds = jf.VideoDataset(
+        directory=str(tmp_path), video_path=frames_dir,
+        transforms=jf.make_transforms(
+            "val", SimpleNamespace(CONFIG=SimpleNamespace(
+                DATA=SimpleNamespace(IMG_SIZE=IMG_J)))),
+        clip_len=T_J, resize_size=IMG_J, crop_size=IMG_J, mode="val")
+    val_loader = torch.utils.data.DataLoader(
+        val_ds, batch_size=2, shuffle=False, num_workers=0,
+        collate_fn=misc.collate_fn)
+
+    matcher = matcher_mod.build_matcher(ref_cfg)
+    weight_dict = {"loss_ce": 12.0, "loss_bbox": 5.0, "loss_giou": 2.0,
+                   "loss_ce_b": 1}
+    weight_dict.update({f"{k}_{i}": v for i in range(5)
+                        for k, v in dict(weight_dict).items()})
+    criterion = crit_mod.SetCriterion(
+        10.0, C_J, num_queries=Q_J, matcher=matcher,
+        weight_dict=weight_dict, eos_coef=0.1, losses=["labels", "boxes"],
+        data_file="jhmdb", evaluation=False)
+    post = crit_mod.PostProcess()
+
+    class _Writer:
+        def add_scalar(self, tag, value, step):
+            pass
+
+    ref_map = var.validate_tuber_ucf_detection(
+        ref_cfg, ref, criterion, {"bbox": post}, val_loader, 0, _Writer())
+
+    # --- our composed eval -------------------------------------------------
+    import jax
+
+    from tubelet_transformer_tpu.data.jhmdb import JHMDBDataset
+    from tubelet_transformer_tpu.data.loader import DataLoader
+    from tubelet_transformer_tpu.models.tuber import build_model
+    from tubelet_transformer_tpu.parallel import mesh as mesh_lib
+    from tubelet_transformer_tpu.train import engine
+    from tubelet_transformer_tpu.train.loop import validate_ucf
+
+    cfg = Config()
+    cfg.data.dataset_name = "jhmdb"
+    cfg.data.num_classes = C_J
+    cfg.data.anno_path = str(tmp_path)
+    cfg.data.data_path = frames_dir
+    cfg.data.img_size = IMG_J
+    cfg.data.temp_len = T_J
+    cfg.data.max_boxes = 8
+    cfg.data.native_decode = False
+    cfg.model.backbone_name = "CSN-152"
+    cfg.model.query_num = Q_J
+    cfg.model.temp_len = T_J
+    cfg.model.enc_layers = 6
+    cfg.model.dec_layers = 6
+    cfg.model.dim_feedforward = 2048
+    cfg.model.temporal_ds_strategy = "decode"
+    cfg.model.last_stride = False
+    cfg.model.compute_dtype = "float32"
+    cfg.val.batch_size = 2
+
+    ds = JHMDBDataset(cfg, "val")
+    loader = DataLoader(ds, batch_size=2, shuffle=False, rank=0, world=1,
+                        num_workers=1, drop_last=True, pad_to_batch=True)
+    model = build_model(cfg)
+    sample = next(iter(loader))
+    state, _, _ = engine.create_train_state(
+        cfg, model, jax.random.PRNGKey(0), sample, steps_per_epoch=1)
+    merged = dict(state.params)
+    merged.update(params)
+    state = state.replace(params=merged, batch_stats=batch_stats)
+    eval_step = engine.make_eval_step(cfg, model)
+    mesh = mesh_lib.create_mesh(1, 1, devices=jax.devices()[:1])
+
+    result = validate_ucf(cfg, eval_step, state, loader, mesh, epoch=0)
+
+    assert abs(result["mAP"] - ref_map) < 1e-6, (result["mAP"], ref_map)
